@@ -1,0 +1,148 @@
+"""Typed configuration tree + phase schedule as data.
+
+The reference splits configuration across pyhocon (.conf), a python module of
+schedule lambdas (``code/model/conf.py``), IDR_* env vars, and argparse
+(SURVEY.md section 5.6). Here everything is one dataclass tree; the loss /
+sample-source schedule is expressed as per-phase tables so that:
+  - boolean gates are *static* per phase (selecting one of <=3 jit variants),
+  - scalar weights are plain floats passed as dynamic args (no recompile).
+
+Reference schedule semantics (``code/model/conf.py:3-33``): training progress
+tp = epoch / nepochs, phases A/B/C split at (1/6, 1/2); depth-surface sample
+sources only in phase A; feature weight 0 -> 0.1 -> 0.01; near-attenuation
+1 -> 0.1 -> 0.01; grad cap 2 -> 2 -> 0.5 (enabled from phase A end).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from .fields.sdf import ImplicitConfig
+from .fields.radiance import RenderConfig
+from .tracing.sphere_trace import TracerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class Gates:
+    """Static per-phase gates (jit-variant selectors).
+
+    d_use_* gates pick which sample groups feed the depth-carving loss,
+    eik_use_* which feed the eikonal loss (ref conf.py:5-12);
+    detach_geometry_for_rgb freezes geometry into the radiance net during
+    phase A (ref implicit_differentiable_renderer.py:331-334)."""
+    d_use_rt_surf: bool = True
+    d_use_eik: bool = True
+    d_use_dsurf_on: bool = False
+    d_use_dsurf_jitter: bool = False
+    eik_use_rt_surf: bool = True
+    eik_use_eik: bool = True
+    eik_use_dsurf_on: bool = False
+    eik_use_dsurf_jitter: bool = False
+    detach_geometry_for_rgb: bool = False
+    enable_feat: bool = True
+    enable_surf: bool = True
+
+    @property
+    def use_dsurf(self) -> bool:
+        return (self.d_use_dsurf_on or self.d_use_dsurf_jitter or
+                self.eik_use_dsurf_on or self.eik_use_dsurf_jitter)
+
+
+@dataclasses.dataclass(frozen=True)
+class Weights:
+    """Dynamic per-step loss weights (traced scalars, no recompile)."""
+    rgb: float = 0.5
+    eikonal: float = 0.1
+    surf: float = 0.01
+    feat: float = 0.0
+    depth: float = 1.0
+    far_att: float = 1.0
+    near_att: float = 1.0
+    grad_cap: float = 0.0  # <= 0 disables clipping
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """Phase tables indexed A=0, B=1, C=2 (ref conf.py values)."""
+    phase: Tuple[float, float] = (1.0 / 6.0, 1.0 / 2.0)
+    rgb_weight: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    feat_weight: Tuple[float, float, float] = (0.0, 0.1, 0.01)
+    depth_weight: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    eikonal_weight: float = 0.1
+    surf_weight: float = 0.01
+    far_thresh: float = 0.25
+    far_att: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    near_thresh: float = 0.1
+    near_att: Tuple[float, float, float] = (1.0, 0.1, 0.01)
+    smooth: Tuple[Optional[float], Optional[float], Optional[float]] = (
+        None, None, None)
+    grad_cap: Tuple[float, float, float] = (2.0, 2.0, 0.5)
+    enable_grad_cap: bool = True
+    enable_feat: bool = True
+    enable_rgb: bool = True
+    use_dsurf_phase: Tuple[bool, bool, bool] = (True, False, False)
+    use_invalid: bool = False  # carving_t vs carving_t2 (conf.py:16)
+    out_thresh_perc: float = 1.0 / 8.0
+    feat_img_scale: int = 2
+
+    def phase_index(self, tp: float) -> int:
+        if tp < self.phase[0]:
+            return 0
+        if tp < self.phase[1]:
+            return 1
+        return 2
+
+    def gates(self, tp: float) -> Gates:
+        i = self.phase_index(tp)
+        ds = self.use_dsurf_phase[i]
+        return Gates(
+            d_use_dsurf_on=ds, d_use_dsurf_jitter=ds,
+            eik_use_dsurf_on=ds, eik_use_dsurf_jitter=ds,
+            detach_geometry_for_rgb=(i == 0),
+            enable_feat=(i > 0 and self.enable_feat),
+            enable_surf=(i > 0),
+        )
+
+    def weights(self, tp: float) -> Weights:
+        i = self.phase_index(tp)
+        cap = self.grad_cap[i] if (
+            self.enable_grad_cap and tp >= self.phase[0]) else 0.0
+        return Weights(
+            rgb=self.rgb_weight[i] if self.enable_rgb else 0.0,
+            eikonal=self.eikonal_weight,
+            surf=self.surf_weight,
+            feat=self.feat_weight[i],
+            depth=self.depth_weight[i],
+            far_att=self.far_att[i],
+            near_att=self.near_att[i],
+            grad_cap=cap,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    implicit: ImplicitConfig = ImplicitConfig()
+    render: RenderConfig = RenderConfig()
+    tracer: TracerConfig = TracerConfig()
+    use_mask: bool = False           # conf.py:17
+    disable_rgb_grad: bool = False   # conf.py:14
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (ref mvsdf_dtu.conf train{} + exp_runner)."""
+    learning_rate: float = 2e-4     # scaled by batch size (idr_train.py:111)
+    batch_size: int = 8
+    num_pixels: int = 4096
+    nepochs: int = 1800
+    sched_milestones: Tuple[float, float] = (4.0 / 6.0, 5.0 / 6.0)
+    sched_factor: float = 0.1
+    plot_freq: float = 1.0 / 12.0
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MVSDFConfig:
+    model: ModelConfig = ModelConfig()
+    schedule: Schedule = Schedule()
+    train: TrainConfig = TrainConfig()

@@ -1,0 +1,233 @@
+"""Differentiable SDF renderer orchestration (the IDRNetwork equivalent).
+
+Behavioral parity target: ``code/model/implicit_differentiable_renderer.py:
+169-338`` (IDRNetwork.forward + get_rbg_value). Differences are structural,
+not semantic: every ray keeps a fixed lane with boolean masks instead of
+boolean-indexed subsets, sample groups are fixed-size arrays with weight
+masks, and randomness comes from an explicit PRNG key (overridable for
+determinism tests).
+
+Sample groups feeding the depth-carving / eikonal losses (ref :215-286):
+  rt_surf       SDF + grad at the traced ray points (mask = surface hits)
+  eik           uniform random points in the bounding cube, R//2 of them
+  dsurf_on      MVS depth maps unprojected to world, unit-normalized (phase A)
+  dsurf_jitter  same points + U(-0.1, 0.1) jitter (phase A)
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, Gates
+from ..fields.sdf import implicit_apply, sdf_apply, sdf_grad
+from ..fields.radiance import render_apply
+from ..geometry.cameras import get_camera_params
+from ..geometry import projections as proj
+from ..tracing.sphere_trace import trace_rays
+from .implicit_diff import differentiable_surface_points
+
+
+class RenderOut(NamedTuple):
+    points: jnp.ndarray                 # (R, 3) traced/filled ray points
+    rgb_values: jnp.ndarray             # (R, 3); non-hits get 1.0 (ref :302)
+    sdf_output: jnp.ndarray             # (R,) live-gradient SDF at points
+    network_object_mask: jnp.ndarray    # (R,) bool
+    object_mask: jnp.ndarray            # (R,) bool (all ones if use_mask off)
+    object_mask_true: jnp.ndarray       # (R,) bool (the real mask)
+    surface_mask: jnp.ndarray           # (R,) bool: rays with diff. surface
+    dists: jnp.ndarray                  # (R,)
+    diff_surf_pts: jnp.ndarray          # (R, 3) implicit-diff surface points
+    groups: Optional[Dict]              # sample groups (training only)
+    surf_logits_pos: Optional[jnp.ndarray]  # (R,) indicator logits at rays
+    surf_logits_pos_mask: Optional[jnp.ndarray]  # (R,) bool label-1 lanes
+    surf_logits_neg: Optional[jnp.ndarray]  # (E,) logits at eik points
+
+
+def _unproject_depth_maps(depths, depth_cams):
+    """depths (N, 1, h, w), depth_cams (N, 2, 4, 4) -> world points
+    (N, h, w, 3) + validity (N, h, w). Ref :234-237 via my_utils idx_* chain.
+    """
+    _, _, h, w = depths.shape
+    grid = proj.pixel_grid(h, w)  # (h, w, 3)
+
+    def one(depth, cam):
+        d = depth[0]
+        pc = proj.img_to_cam(grid, d, cam)
+        pw = proj.cam_to_world(pc, cam)
+        return pw[..., :3], d > 0
+
+    return jax.vmap(one)(depths, depth_cams)
+
+
+def _sample_masked(points, valid, n, key):
+    """Uniformly sample n rows of ``points`` among ``valid`` without
+    replacement (fixed shape). Returns (pts (n, 3), ok (n,) bool).
+
+    Replaces the reference's np.random.choice(replace=False) (ref :244) with
+    a uniform-key top-k, which is an exact uniform draw without replacement.
+    """
+    m = points.shape[0]
+    u = jax.random.uniform(key, (m,))
+    score = jnp.where(valid, u, -1.0)
+    _, idx = jax.lax.top_k(score, n)
+    return points[idx], valid[idx]
+
+
+def _dsurf_samples(cfg: ModelConfig, inputs, n_dsurf, key, noise):
+    """Depth-surface sample groups (ref :226-251)."""
+    depths = inputs["depths"]        # (B, V, 1, h, w)
+    cams = inputs["depth_cams"]      # (B, V, 2, 4, 4)
+    center = jnp.asarray(inputs["center"]).reshape(-1, 3)[0]
+    size = jnp.asarray(inputs["size"]).reshape(-1)[0]
+    B, V = depths.shape[:2]
+    d_flat = depths.reshape((B * V,) + depths.shape[2:])
+    c_flat = cams.reshape((B * V,) + cams.shape[2:])
+    pts, valid = _unproject_depth_maps(d_flat, c_flat)
+    pts = pts.reshape(-1, 3)
+    valid = valid.reshape(-1)
+    pts_norm = (pts - center) / size * 2.0
+    r = cfg.tracer.object_bounding_sphere
+    jitter_rad = 0.1  # ref :228 (hard-coded)
+    k_j, k_on, k_ji = jax.random.split(key, 3)
+    if noise and "dsurf_jitter_noise" in noise:
+        jn = noise["dsurf_jitter_noise"]
+    else:
+        jn = jax.random.uniform(k_j, pts_norm.shape) * 2 * jitter_rad - \
+            jitter_rad
+    pts_jit = pts_norm + jn
+    out = []
+    for p, k in ((pts_norm, k_on), (pts_jit, k_ji)):
+        inb = jnp.sum((jnp.abs(p) < r).astype(jnp.float32), -1) > 2.9
+        out.append(_sample_masked(p, valid & inb, n_dsurf, k))
+    (on_pts, on_ok), (ji_pts, ji_ok) = out
+    return on_pts, on_ok, ji_pts, ji_ok
+
+
+def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
+                   gates: Gates = Gates(), key: Optional[jax.Array] = None,
+                   noise: Optional[dict] = None) -> RenderOut:
+    """One renderer forward pass over a batch of pixel rays.
+
+    params: {"implicit": [...], "render": [...]} weight pytrees.
+    inputs: uv (B,P,2), intrinsics (B,4,4), pose (B,4,4)|(B,7),
+            object_mask (B,P); + depths/depth_cams/center/size when
+            dsurf sampling is gated on.
+    """
+    icfg, rcfg, tcfg = cfg.implicit, cfg.render, cfg.tracer
+    uv = inputs["uv"]
+    B, P, _ = uv.shape
+    R = B * P
+
+    object_mask_true = inputs["object_mask"].reshape(R)
+    object_mask = object_mask_true if cfg.use_mask else jnp.ones(
+        (R,), bool)
+
+    ray_dirs, cam_loc = get_camera_params(uv, inputs["pose"],
+                                          inputs["intrinsics"])
+
+    # --- non-differentiable trace on frozen params (ref :192-198) ---------
+    params_sg = jax.lax.stop_gradient(params)
+    sdf_frozen = lambda x: sdf_apply(icfg, params_sg["implicit"], x)
+    if noise and "minimal_steps" in noise:
+        min_steps, k_trace = noise["minimal_steps"], None
+    else:
+        if key is None and training:
+            raise ValueError("training render_forward needs key or noise")
+        if key is not None:
+            key, k_trace = jax.random.split(key)
+            min_steps = jax.random.uniform(k_trace, (tcfg.n_steps,))
+        else:
+            min_steps = None
+    tr = trace_rays(tcfg, sdf_frozen, jax.lax.stop_gradient(cam_loc),
+                    jax.lax.stop_gradient(ray_dirs), object_mask,
+                    training=training, minimal_steps=min_steps)
+    dists = jax.lax.stop_gradient(tr.dists)
+    net_obj_mask = tr.network_object_mask
+
+    # Recompute points from dists so camera grads could flow (ref :200).
+    cam_rep = jnp.broadcast_to(cam_loc[:, None, :], (B, P, 3)).reshape(R, 3)
+    dirs = ray_dirs.reshape(R, 3)
+    points = cam_rep + dists[:, None] * dirs
+
+    full_out = implicit_apply(icfg, params["implicit"], points)  # (R, 2+F)
+    sdf_output = full_out[..., 0]
+
+    groups = None
+    surf_logits_pos = surf_logits_pos_mask = surf_logits_neg = None
+
+    if training:
+        surface_mask = net_obj_mask & object_mask
+        r = tcfg.object_bounding_sphere
+        n_eik = R // 2
+
+        if noise and "eik_points" in noise:
+            eik_pts = noise["eik_points"]
+        else:
+            key, k_eik = jax.random.split(key)
+            eik_pts = jax.random.uniform(k_eik, (n_eik, 3),
+                                         minval=-r, maxval=r)
+
+        group_list = [("rt_surf", points, surface_mask.astype(jnp.float32))]
+        eik_out = implicit_apply(icfg, params["implicit"], eik_pts)
+        group_list.append(("eik", eik_pts, jnp.ones((n_eik,))))
+
+        if gates.use_dsurf:
+            n_dsurf = R // 2
+            key, k_ds = jax.random.split(key)
+            on_pts, on_ok, ji_pts, ji_ok = _dsurf_samples(
+                cfg, inputs, n_dsurf, k_ds, noise)
+            group_list.append(("dsurf_on", on_pts,
+                               on_ok.astype(jnp.float32)))
+            group_list.append(("dsurf_jitter", ji_pts,
+                               ji_ok.astype(jnp.float32)))
+
+        groups = {}
+        for name, pts, mask in group_list:
+            if name == "rt_surf":
+                sdf_vals = sdf_output
+            elif name == "eik":
+                sdf_vals = eik_out[..., 0]
+            else:
+                sdf_vals = sdf_apply(icfg, params["implicit"], pts)
+            g = sdf_grad(icfg, params["implicit"], pts)
+            groups[name] = {"points": pts, "sdf": sdf_vals, "grad": g,
+                            "mask": mask}
+
+        # Surface-indicator logits (ref :272): traced hits inside the true
+        # mask are label-1, eik random points label-0.
+        surf_logits_pos = full_out[..., 1]
+        surf_logits_pos_mask = surface_mask & object_mask_true
+        surf_logits_neg = eik_out[..., 1]
+
+        # Implicit-diff surface points (ref :288-293).
+        g_rt_detached = jax.lax.stop_gradient(groups["rt_surf"]["grad"])
+        diff_surf_pts = differentiable_surface_points(
+            sdf_output, jax.lax.stop_gradient(sdf_output), g_rt_detached,
+            dists, cam_rep, dirs, valid_mask=surface_mask)
+    else:
+        surface_mask = net_obj_mask
+        diff_surf_pts = points
+
+    # --- shading (ref get_rbg_value :324-338) -----------------------------
+    view = -dirs
+    rgb_out = implicit_apply(icfg, params["implicit"], diff_surf_pts)
+    normals = sdf_grad(icfg, params["implicit"], diff_surf_pts)
+    features = rgb_out[..., 2:]
+    pts_in, nrm_in, view_in = diff_surf_pts, normals, view
+    if (training and gates.detach_geometry_for_rgb) or cfg.disable_rgb_grad:
+        pts_in, nrm_in, view_in = map(jax.lax.stop_gradient,
+                                      (pts_in, nrm_in, view_in))
+    rgb = render_apply(rcfg, params["render"], pts_in, nrm_in, view_in,
+                       features)
+    rgb_values = jnp.where(surface_mask[:, None], rgb, 1.0)
+
+    return RenderOut(
+        points=points, rgb_values=rgb_values, sdf_output=sdf_output,
+        network_object_mask=net_obj_mask, object_mask=object_mask,
+        object_mask_true=object_mask_true, surface_mask=surface_mask,
+        dists=dists, diff_surf_pts=diff_surf_pts, groups=groups,
+        surf_logits_pos=surf_logits_pos,
+        surf_logits_pos_mask=surf_logits_pos_mask,
+        surf_logits_neg=surf_logits_neg)

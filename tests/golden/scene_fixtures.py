@@ -1,0 +1,128 @@
+"""Synthetic-scene fixtures shared by golden end-to-end tests.
+
+Builds a tiny consistent multi-view setup: pinhole cameras on a ring looking
+at the origin, a unit-scale scene (size=2, center=0), plausible depth maps,
+and random frozen feature maps — everything both the reference and our
+framework need for a full forward+backward."""
+import numpy as np
+
+
+def _conv2(img, k):
+    """Small same-size 2D convolution (separable box) for smoothing."""
+    from scipy.signal import convolve2d
+    return convolve2d(img, k, mode="same", boundary="symm").astype(np.float32)
+
+
+def look_at_extrinsic(cam_pos, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
+    c = np.asarray(cam_pos, np.float64)
+    z = np.asarray(target, np.float64) - c
+    z /= np.linalg.norm(z)
+    x = np.cross(np.asarray(up, np.float64), z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])  # world -> cam rows
+    t = -R @ c
+    E = np.eye(4)
+    E[:3, :3] = R
+    E[:3, 3] = t
+    return E
+
+
+def make_scene(n_images=2, n_src=2, img_hw=64, depth_hw=32, n_pix=64,
+               seed=0, feat_ch=32):
+    """Returns dict of numpy arrays (float32) for both frameworks."""
+    rng = np.random.default_rng(seed)
+    B = n_images
+    H = W = img_hw
+    h = w = depth_hw
+
+    # cameras on a ring of radius 2.2
+    angles = np.linspace(0, 2 * np.pi, B + n_src, endpoint=False)
+    cam_pos = np.stack([2.2 * np.sin(angles), 0.35 * np.ones_like(angles),
+                        2.2 * np.cos(angles)], -1)
+    extr = np.stack([look_at_extrinsic(p) for p in cam_pos])  # (B+S, 4, 4)
+
+    f_hd = 60.0
+    K_hd = np.array([[f_hd, 0, W / 2], [0, f_hd, H / 2], [0, 0, 1.0]])
+    # depth cams at depth resolution; cams_hd = 2x depth cams
+    scale = h / H
+    K_d = K_hd.copy() * 1.0
+    K_d[0] *= scale
+    K_d[1] *= scale
+
+    def mvs_cam(E, K):
+        cam = np.zeros((2, 4, 4))
+        cam[0] = E
+        cam[1][:3, :3] = K
+        return cam
+
+    depth_cams = np.stack([mvs_cam(extr[i], K_d) for i in range(B)])
+    cams_hd = np.stack(
+        [mvs_cam(extr[i], K_hd * np.diag([1, 1, 1]))
+         for i in range(B + n_src)])
+    # cams_hd intrinsics = 2x depth cams (feat_img_scale=2)
+    for c in cams_hd:
+        c[1][:3, :3] = K_d * 2
+        c[1][2, 2] = 1.0
+
+    # intrinsics/pose for ray generation (image_hd domain)
+    intrinsics = np.tile(np.eye(4), (B, 1, 1))
+    intrinsics[:, :3, :3] = K_hd
+    pose = np.stack([np.linalg.inv(extr[i]) for i in range(B)])
+
+    # plausible depth maps: distance from cam to a sphere of radius 0.6
+    # around origin along each pixel ray (zero = invalid border)
+    depths = np.zeros((B, 1, 1, h, w), np.float32)
+    for i in range(B):
+        ys, xs = np.mgrid[0:h, 0:w]
+        pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], -1).reshape(
+            -1, 3).astype(np.float64)
+        Kinv = np.linalg.inv(K_d)
+        dirs_cam = (Kinv @ pix.T).T
+        R = extr[i][:3, :3]
+        dirs_w = dirs_cam @ R  # R^T @ d
+        dirs_w /= np.linalg.norm(dirs_w, axis=-1, keepdims=True)
+        o = cam_pos[i]
+        b = dirs_w @ o
+        disc = b ** 2 - (o @ o - 0.6 ** 2)
+        tq = -b - np.sqrt(np.maximum(disc, 0))
+        z = tq * (dirs_cam @ np.array([0, 0, 1.0])) / np.linalg.norm(
+            dirs_cam, axis=-1)
+        z = np.where(disc > 0, z, 0.0)
+        depths[i, 0, 0] = z.reshape(h, w)
+
+    uv_full = np.stack(np.meshgrid(np.arange(W), np.arange(H)),
+                       -1).reshape(-1, 2).astype(np.float32)
+    # random pixel subset shared across images (ref scene_dataset.py:244-248)
+    sel = rng.permutation(H * W)[:n_pix]
+    uv = np.tile(uv_full[sel][None], (B, 1, 1))
+
+    # Smooth low-frequency feature fields with a shared component so that
+    # cross-view correlations land on both sides of the 0.5 inlier threshold
+    # (exercises the feature-consistency loss non-trivially).
+    base = rng.normal(size=(feat_ch, h, w)).astype(np.float32)
+    k = np.ones((5, 5), np.float32) / 25.0
+    base = np.stack([_conv2(c, k) for c in base])
+    feat = np.stack([base + 0.4 * rng.normal(
+        size=base.shape).astype(np.float32) for _ in range(B)])
+    feat_src = np.stack([np.stack([base + 0.4 * rng.normal(
+        size=base.shape).astype(np.float32) for _ in range(n_src)])
+        for _ in range(B)])
+    src_cams = np.stack([cams_hd[B:][:n_src] for _ in range(B)])
+
+    return dict(
+        uv=uv.astype(np.float32),
+        intrinsics=intrinsics.astype(np.float32),
+        pose=pose.astype(np.float32),
+        object_mask=np.ones((B, n_pix), bool),
+        rgb=rng.uniform(-1, 1, (B, n_pix, 3)).astype(np.float32),
+        depths=depths,
+        depth_cams=np.tile(depth_cams[:, None], (1, 1, 1, 1, 1)).astype(
+            np.float32).reshape(B, 1, 2, 4, 4),
+        cam=cams_hd[:B].astype(np.float32),
+        src_cams=src_cams.astype(np.float32),
+        feat=feat,
+        feat_src=feat_src,
+        size=np.full((B,), 2.0, np.float32),
+        center=np.zeros((B, 3), np.float32),
+    )
