@@ -93,7 +93,9 @@ class Schedule:
         return 2
 
     def gates(self, tp: float) -> Gates:
-        i = self.phase_index(tp)
+        return self.gates_for_phase(self.phase_index(tp))
+
+    def gates_for_phase(self, i: int) -> Gates:
         ds = self.use_dsurf_phase[i]
         return Gates(
             d_use_dsurf_on=ds, d_use_dsurf_jitter=ds,

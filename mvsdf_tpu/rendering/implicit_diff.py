@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 def differentiable_surface_points(sdf_vals, sdf_vals_detached, grads_detached,
                                   dists, cam_loc, ray_dirs, valid_mask=None):
-    """All inputs per-ray, (R,) / (R, 3).
+    """All inputs per-ray with any leading shape, (L...,) / (L..., 3).
 
     sdf_vals: SDF at the traced points, *with* live parameter gradients.
     sdf_vals_detached / grads_detached: stop-gradient values at the same
@@ -28,8 +28,8 @@ def differentiable_surface_points(sdf_vals, sdf_vals_detached, grads_detached,
     (the reference indexes hits only; we keep every lane and mask).
     """
     dirs0 = jax.lax.stop_gradient(ray_dirs)
-    dot = jnp.einsum("rd,rd->r", grads_detached, dirs0)
+    dot = jnp.sum(grads_detached * dirs0, axis=-1)
     if valid_mask is not None:
         dot = jnp.where(valid_mask, dot, 1.0)
     dists_theta = dists - (sdf_vals - sdf_vals_detached) / dot
-    return cam_loc + dists_theta[:, None] * ray_dirs
+    return cam_loc + dists_theta[..., None] * ray_dirs

@@ -7,9 +7,14 @@ boolean-indexed subsets, sample groups are fixed-size arrays with weight
 masks, and randomness comes from an explicit PRNG key (overridable for
 determinism tests).
 
+Data layout is (B, P): B images per batch, P rays per image, with P the
+data-parallel shard axis — per-image quantities (poses, feature maps, depth
+cams) stay replicated and every per-ray operation is elementwise over (B, P),
+so sharding propagates with zero resharding (see parallel/).
+
 Sample groups feeding the depth-carving / eikonal losses (ref :215-286):
   rt_surf       SDF + grad at the traced ray points (mask = surface hits)
-  eik           uniform random points in the bounding cube, R//2 of them
+  eik           uniform random points in the bounding cube, B*P//2 of them
   dsurf_on      MVS depth maps unprojected to world, unit-normalized (phase A)
   dsurf_jitter  same points + U(-0.1, 0.1) jitter (phase A)
 """
@@ -30,19 +35,19 @@ from .implicit_diff import differentiable_surface_points
 
 
 class RenderOut(NamedTuple):
-    points: jnp.ndarray                 # (R, 3) traced/filled ray points
-    rgb_values: jnp.ndarray             # (R, 3); non-hits get 1.0 (ref :302)
-    sdf_output: jnp.ndarray             # (R,) live-gradient SDF at points
-    network_object_mask: jnp.ndarray    # (R,) bool
-    object_mask: jnp.ndarray            # (R,) bool (all ones if use_mask off)
-    object_mask_true: jnp.ndarray       # (R,) bool (the real mask)
-    surface_mask: jnp.ndarray           # (R,) bool: rays with diff. surface
-    dists: jnp.ndarray                  # (R,)
-    diff_surf_pts: jnp.ndarray          # (R, 3) implicit-diff surface points
+    points: jnp.ndarray                 # (B, P, 3) traced/filled ray points
+    rgb_values: jnp.ndarray             # (B, P, 3); non-hits = 1 (ref :302)
+    sdf_output: jnp.ndarray             # (B, P) live-gradient SDF at points
+    network_object_mask: jnp.ndarray    # (B, P) bool
+    object_mask: jnp.ndarray            # (B, P) bool (ones if use_mask off)
+    object_mask_true: jnp.ndarray       # (B, P) bool (the real mask)
+    surface_mask: jnp.ndarray           # (B, P) bool: differentiable surface
+    dists: jnp.ndarray                  # (B, P)
+    diff_surf_pts: jnp.ndarray          # (B, P, 3) implicit-diff points
     groups: Optional[Dict]              # sample groups (training only)
-    surf_logits_pos: Optional[jnp.ndarray]  # (R,) indicator logits at rays
-    surf_logits_pos_mask: Optional[jnp.ndarray]  # (R,) bool label-1 lanes
-    surf_logits_neg: Optional[jnp.ndarray]  # (E,) logits at eik points
+    surf_logits_pos: Optional[jnp.ndarray]       # (B, P) indicator logits
+    surf_logits_pos_mask: Optional[jnp.ndarray]  # (B, P) bool label-1 lanes
+    surf_logits_neg: Optional[jnp.ndarray]       # (B, P//2) eik-point logits
 
 
 def _unproject_depth_maps(depths, depth_cams):
@@ -76,7 +81,8 @@ def _sample_masked(points, valid, n, key):
 
 
 def _dsurf_samples(cfg: ModelConfig, inputs, n_dsurf, key, noise):
-    """Depth-surface sample groups (ref :226-251)."""
+    """Depth-surface sample groups (ref :226-251). Returns flat (n_dsurf, 3)
+    arrays + validity; callers reshape to the (B, P//2) lane layout."""
     depths = inputs["depths"]        # (B, V, 1, h, w)
     cams = inputs["depth_cams"]      # (B, V, 2, 4, 4)
     center = jnp.asarray(inputs["center"]).reshape(-1, 3)[0]
@@ -118,20 +124,20 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
     icfg, rcfg, tcfg = cfg.implicit, cfg.render, cfg.tracer
     uv = inputs["uv"]
     B, P, _ = uv.shape
-    R = B * P
 
-    object_mask_true = inputs["object_mask"].reshape(R)
+    object_mask_true = inputs["object_mask"].reshape(B, P)
     object_mask = object_mask_true if cfg.use_mask else jnp.ones(
-        (R,), bool)
+        (B, P), bool)
 
     ray_dirs, cam_loc = get_camera_params(uv, inputs["pose"],
                                           inputs["intrinsics"])
+    org = jnp.broadcast_to(cam_loc[:, None, :], (B, P, 3))
 
     # --- non-differentiable trace on frozen params (ref :192-198) ---------
     params_sg = jax.lax.stop_gradient(params)
     sdf_frozen = lambda x: sdf_apply(icfg, params_sg["implicit"], x)
     if noise and "minimal_steps" in noise:
-        min_steps, k_trace = noise["minimal_steps"], None
+        min_steps = noise["minimal_steps"]
     else:
         if key is None and training:
             raise ValueError("training render_forward needs key or noise")
@@ -140,18 +146,16 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             min_steps = jax.random.uniform(k_trace, (tcfg.n_steps,))
         else:
             min_steps = None
-    tr = trace_rays(tcfg, sdf_frozen, jax.lax.stop_gradient(cam_loc),
+    tr = trace_rays(tcfg, sdf_frozen, jax.lax.stop_gradient(org),
                     jax.lax.stop_gradient(ray_dirs), object_mask,
                     training=training, minimal_steps=min_steps)
     dists = jax.lax.stop_gradient(tr.dists)
     net_obj_mask = tr.network_object_mask
 
     # Recompute points from dists so camera grads could flow (ref :200).
-    cam_rep = jnp.broadcast_to(cam_loc[:, None, :], (B, P, 3)).reshape(R, 3)
-    dirs = ray_dirs.reshape(R, 3)
-    points = cam_rep + dists[:, None] * dirs
+    points = org + dists[..., None] * ray_dirs
 
-    full_out = implicit_apply(icfg, params["implicit"], points)  # (R, 2+F)
+    full_out = implicit_apply(icfg, params["implicit"], points)  # (B,P,2+F)
     sdf_output = full_out[..., 0]
 
     groups = None
@@ -160,28 +164,27 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
     if training:
         surface_mask = net_obj_mask & object_mask
         r = tcfg.object_bounding_sphere
-        n_eik = R // 2
+        n_eik = (B * P) // 2
 
         if noise and "eik_points" in noise:
-            eik_pts = noise["eik_points"]
+            eik_pts = noise["eik_points"].reshape(B, P // 2, 3)
         else:
             key, k_eik = jax.random.split(key)
-            eik_pts = jax.random.uniform(k_eik, (n_eik, 3),
+            eik_pts = jax.random.uniform(k_eik, (B, P // 2, 3),
                                          minval=-r, maxval=r)
 
         group_list = [("rt_surf", points, surface_mask.astype(jnp.float32))]
         eik_out = implicit_apply(icfg, params["implicit"], eik_pts)
-        group_list.append(("eik", eik_pts, jnp.ones((n_eik,))))
+        group_list.append(("eik", eik_pts, jnp.ones((B, P // 2))))
 
         if gates.use_dsurf:
-            n_dsurf = R // 2
             key, k_ds = jax.random.split(key)
             on_pts, on_ok, ji_pts, ji_ok = _dsurf_samples(
-                cfg, inputs, n_dsurf, k_ds, noise)
-            group_list.append(("dsurf_on", on_pts,
-                               on_ok.astype(jnp.float32)))
-            group_list.append(("dsurf_jitter", ji_pts,
-                               ji_ok.astype(jnp.float32)))
+                cfg, inputs, (B * P) // 2, k_ds, noise)
+            group_list.append(("dsurf_on", on_pts.reshape(B, P // 2, 3),
+                               on_ok.reshape(B, P // 2).astype(jnp.float32)))
+            group_list.append(("dsurf_jitter", ji_pts.reshape(B, P // 2, 3),
+                               ji_ok.reshape(B, P // 2).astype(jnp.float32)))
 
         groups = {}
         for name, pts, mask in group_list:
@@ -205,13 +208,13 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
         g_rt_detached = jax.lax.stop_gradient(groups["rt_surf"]["grad"])
         diff_surf_pts = differentiable_surface_points(
             sdf_output, jax.lax.stop_gradient(sdf_output), g_rt_detached,
-            dists, cam_rep, dirs, valid_mask=surface_mask)
+            dists, org, ray_dirs, valid_mask=surface_mask)
     else:
         surface_mask = net_obj_mask
         diff_surf_pts = points
 
     # --- shading (ref get_rbg_value :324-338) -----------------------------
-    view = -dirs
+    view = -ray_dirs
     rgb_out = implicit_apply(icfg, params["implicit"], diff_surf_pts)
     normals = sdf_grad(icfg, params["implicit"], diff_surf_pts)
     features = rgb_out[..., 2:]
@@ -221,7 +224,7 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
                                       (pts_in, nrm_in, view_in))
     rgb = render_apply(rcfg, params["render"], pts_in, nrm_in, view_in,
                        features)
-    rgb_values = jnp.where(surface_mask[:, None], rgb, 1.0)
+    rgb_values = jnp.where(surface_mask[..., None], rgb, 1.0)
 
     return RenderOut(
         points=points, rgb_values=rgb_values, sdf_output=sdf_output,

@@ -33,10 +33,10 @@ class LossTerms(NamedTuple):
 
 
 def rgb_loss(rgb_values, rgb_gt, network_object_mask, object_mask):
-    """(R, 3) each; L1 summed over hit&mask lanes, normalized by R
-    (ref loss.py:21-28)."""
-    m = (network_object_mask & object_mask)[:, None]
-    n = rgb_values.shape[0]
+    """(B, P, 3) each; L1 summed over hit&mask lanes, normalized by the total
+    ray count B*P (ref loss.py:21-28)."""
+    m = (network_object_mask & object_mask)[..., None]
+    n = rgb_values.shape[0] * rgb_values.shape[1]
     return jnp.sum(jnp.abs(rgb_values - rgb_gt) * m) / n
 
 
@@ -161,7 +161,7 @@ def surf_indicator_loss(logits_pos, pos_mask, logits_neg):
     (ref loss.py:167-174)."""
     pos = _bce_with_logits(logits_pos, 1.0) * pos_mask
     neg = _bce_with_logits(logits_neg, 0.0)
-    n = jnp.sum(pos_mask) + logits_neg.shape[0]
+    n = jnp.sum(pos_mask) + logits_neg.size
     return (jnp.sum(pos) + jnp.sum(neg)) / jnp.maximum(n, 1.0)
 
 
@@ -174,7 +174,7 @@ def total_loss(out, ground_truth, gates: Gates, sched: Schedule,
     merged into carving views (ref loss.py:39-40), depth_cams, size, center,
     feat, cam, feat_src, src_cams.
     """
-    rgb_gt = ground_truth["rgb"].reshape(-1, 3)
+    rgb_gt = ground_truth["rgb"]
     l_rgb = rgb_loss(out.rgb_values, rgb_gt, out.network_object_mask,
                      out.object_mask)
     l_eik = eikonal_loss(out.groups, gates)
@@ -189,11 +189,9 @@ def total_loss(out, ground_truth, gates: Gates, sched: Schedule,
         ground_truth["size"], ground_truth["center"], sched, weights)
 
     if gates.enable_feat:
-        B = ground_truth["rgb"].shape[0]
-        P = ground_truth["rgb"].shape[1]
-        hit = (out.network_object_mask & out.object_mask).reshape(B, P)
+        hit = out.network_object_mask & out.object_mask
         l_feat = feat_consistency_loss(
-            out.diff_surf_pts.reshape(B, P, 3), hit,
+            out.diff_surf_pts, hit,
             ground_truth["feat"], ground_truth["cam"],
             ground_truth["feat_src"], ground_truth["src_cams"],
             ground_truth["size"], ground_truth["center"],

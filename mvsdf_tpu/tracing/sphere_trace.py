@@ -7,7 +7,14 @@ data-dependent shapes and Python early-exits; here every ray keeps a lane and
 converged lanes are frozen by masks, with a ``lax.while_loop`` providing the
 early-exit *in time* (trip count) without dynamic shapes — the XLA-native
 formulation. All SDF MLP evaluations are dense batched matmuls feeding the
-MXU; large sample batches are chunked through ``lax.map`` to bound HBM.
+MXU.
+
+Shape-polymorphic: rays carry any leading shape L (typically (B, P) with the
+per-image ray axis P sharded across the device mesh); every operation is
+either elementwise over L or a reduction over the trailing sample axis, so
+data-parallel sharding propagates with zero resharding. The dense sampler's
+(L, n_steps) SDF evaluation is chunked along the *sample* axis (a replicated
+axis) via ``lax.map`` to bound peak HBM without disturbing ray sharding.
 
 Stages (ref line numbers):
   1. ray/bounding-sphere intersection            (rend_util.py:141-162)
@@ -22,12 +29,10 @@ Stages (ref line numbers):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-
-from ..geometry.cameras import get_sphere_intersection
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,42 +45,51 @@ class TracerConfig:
     n_steps: int = 100
     n_secant_steps: int = 8
     dist_clip: float = 0.5  # 0.05 in high-quality render mode (ref :127-131)
-    sdf_chunk: int = 1 << 18  # dense-sampler SDF eval chunk (points)
+    sample_chunk: int = 20  # sample-axis slices evaluated per lax.map step
 
 
 class TraceResult(NamedTuple):
-    points: jnp.ndarray          # (R, 3) surface / fallback points
-    network_object_mask: jnp.ndarray  # (R,) bool: ray hit the SDF surface
-    dists: jnp.ndarray           # (R,) distance along ray
-    sampler_mask: jnp.ndarray    # (R,) bool: handled by the fallback sampler
-    mask_intersect: jnp.ndarray  # (R,) bool: ray intersects bounding sphere
+    points: jnp.ndarray          # (L..., 3) surface / fallback points
+    network_object_mask: jnp.ndarray  # (L...) bool: ray hit the SDF surface
+    dists: jnp.ndarray           # (L...) distance along ray
+    sampler_mask: jnp.ndarray    # (L...) bool: handled by fallback sampler
+    mask_intersect: jnp.ndarray  # (L...) bool: ray intersects bounding sphere
 
 
-def chunked_sdf(sdf_fn: Callable, pts: jnp.ndarray, chunk: int):
-    """Evaluate sdf_fn on (N, 3) points in fixed-size chunks via lax.map to
-    bound peak activation memory (ref chunks at 100k: ray_tracing.py:217)."""
-    n = pts.shape[0]
-    if chunk <= 0 or n <= chunk:
+def _eval_samples(cfg: TracerConfig, sdf_fn, pts):
+    """SDF at pts (L..., S, 3) -> (L..., S), chunked along the sample axis S
+    (ref chunks flat points at 100k: ray_tracing.py:217). The sample axis is
+    replicated, so chunking never reshards the ray axis."""
+    S = pts.shape[-2]
+    cs = cfg.sample_chunk
+    if cs <= 0 or S <= cs or S % cs != 0:
         return sdf_fn(pts)
-    pad = (-n) % chunk
-    p = jnp.pad(pts, ((0, pad), (0, 0)))
-    out = jax.lax.map(sdf_fn, p.reshape(-1, chunk, 3))
-    return out.reshape(-1)[:n]
+    moved = jnp.moveaxis(pts, -2, 0)                 # (S, L..., 3)
+    chunks = moved.reshape((S // cs, cs) + moved.shape[1:])
+    out = jax.lax.map(sdf_fn, chunks)                # (S//cs, cs, L...)
+    return jnp.moveaxis(out.reshape((S,) + out.shape[2:]), 0, -1)
+
+
+def _take(a, idx):
+    """a (L..., S[, 3]), idx (L...) -> (L...[, 3]) via take_along_axis."""
+    if a.ndim == idx.ndim + 2:  # trailing vector dim
+        return jnp.take_along_axis(
+            a, idx[..., None, None], axis=-2).squeeze(-2)
+    return jnp.take_along_axis(a, idx[..., None], axis=-1).squeeze(-1)
 
 
 def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
                   t_near, t_far):
     """Bidirectional sphere tracing (ref ray_tracing.py:101-196).
 
-    org, dirs: (R, 3); mask_intersect, t_near, t_far: (R,).
-    Returns (unfinished_start, t_start, t_end) after <= sphere_tracing_iters
-    marching steps; min/max distances are the initial (t_near, t_far).
+    org, dirs: (L..., 3); mask_intersect, t_near, t_far: (L...).
+    Returns (unfinished_start, t_start, t_end).
     """
     thr = cfg.sdf_threshold
     clip = cfg.dist_clip
 
     def eval_masked(t, m):
-        p = org + t[:, None] * dirs
+        p = org + t[..., None] * dirs
         v = jnp.clip(sdf_fn(p), -clip, clip)
         return jnp.where(m, v, 0.0)
 
@@ -97,7 +111,7 @@ def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
             j, t, not_proj, next_v = state
             step = ((1 - cfg.line_search_step) / (2.0 ** j)) * curr
             t = jnp.where(not_proj, t - sign * step, t)
-            p = org + t[:, None] * dirs
+            p = org + t[..., None] * dirs
             v = jnp.clip(sdf_fn(p), -clip, clip)
             next_v = jnp.where(not_proj, v, next_v)
             return j + 1, t, next_v < 0, next_v
@@ -152,47 +166,45 @@ def _ray_sampler(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     """Uniform interval sampling + secant (ref ray_tracing.py:198-278),
     dense over all rays; callers merge via sampler_mask.
 
-    Returns (points (R,3), net_surface (R,), dists (R,))."""
+    Returns (points (L..., 3), net_surface (L...), dists (L...))."""
     S = cfg.n_steps
-    R = org.shape[0]
     steps = jnp.linspace(0.0, 1.0, S)
-    ts = t_min[:, None] + steps[None, :] * (t_max - t_min)[:, None]  # (R, S)
-    pts = org[:, None, :] + ts[..., None] * dirs[:, None, :]
-    sdf_val = chunked_sdf(sdf_fn, pts.reshape(-1, 3),
-                          cfg.sdf_chunk).reshape(R, S)
+    shp = (1,) * t_min.ndim + (S,)
+    ts = t_min[..., None] + steps.reshape(shp) * (t_max - t_min)[..., None]
+    pts = org[..., None, :] + ts[..., None] * dirs[..., None, :]
+    sdf_val = _eval_samples(cfg, sdf_fn, pts)        # (L..., S)
 
     # First sign transition: argmin of sign(sdf) * [S..1] returns the first
     # negative sample (ref :221-222).
-    weight = jnp.arange(S, 0, -1, dtype=sdf_val.dtype)[None, :]
+    weight = jnp.arange(S, 0, -1, dtype=sdf_val.dtype).reshape(shp)
     ind = jnp.argmin(jnp.sign(sdf_val) * weight, axis=-1)
-    ar = jnp.arange(R)
-    net_surface = sdf_val[ar, ind] < 0
+    net_surface = _take(sdf_val, ind) < 0
 
     # Rays without a usable crossing take the min-SDF sample (ref :229-235).
     p_out = ~(object_mask & net_surface)
     out_ind = jnp.argmin(sdf_val, axis=-1)
     pick = jnp.where(p_out, out_ind, ind)
-    d = ts[ar, pick]
-    p = pts[ar, pick]
+    d = _take(ts, pick)
+    p = _take(pts, pick)
 
     # Secant refinement on sign-crossing rays (ref :242-256; eval mode uses
     # net_surface alone).
     secant_sel = (net_surface & object_mask) if training else net_surface
-    z_high = ts[ar, ind]
-    sdf_high = sdf_val[ar, ind]
+    z_high = _take(ts, ind)
+    sdf_high = _take(sdf_val, ind)
     ind_lo = (ind - 1) % S  # torch negative indexing wraps (ref :248)
-    z_low = ts[ar, ind_lo]
-    sdf_low = sdf_val[ar, ind_lo]
+    z_low = _take(ts, ind_lo)
+    sdf_low = _take(sdf_val, ind_lo)
     z_pred = _secant(cfg, sdf_fn, org, dirs, z_low, z_high, sdf_low, sdf_high)
     d = jnp.where(secant_sel, z_pred, d)
-    p = jnp.where(secant_sel[:, None], org + z_pred[:, None] * dirs, p)
+    p = jnp.where(secant_sel[..., None], org + z_pred[..., None] * dirs, p)
     return p, net_surface, d
 
 
 def _secant(cfg: TracerConfig, sdf_fn, org, dirs, z_low, z_high, sdf_low,
             sdf_high):
     """Fixed-iteration bracketed secant root find (ref ray_tracing.py:260-278).
-    All (R,) arrays; division guarded for frozen/degenerate lanes."""
+    All (L...) arrays; division guarded for frozen/degenerate lanes."""
     def z_of(sl, sh, zl, zh):
         denom = sh - sl
         denom = jnp.where(jnp.abs(denom) < 1e-12,
@@ -201,7 +213,7 @@ def _secant(cfg: TracerConfig, sdf_fn, org, dirs, z_low, z_high, sdf_low,
 
     def body(_, state):
         z_low, z_high, sdf_low, sdf_high, z_pred = state
-        p_mid = org + z_pred[:, None] * dirs
+        p_mid = org + z_pred[..., None] * dirs
         sdf_mid = sdf_fn(p_mid)
         pos = sdf_mid > 0
         neg = sdf_mid < 0
@@ -223,42 +235,40 @@ def _minimal_sdf_points(cfg: TracerConfig, sdf_fn, org, dirs, t_min, t_max,
     """Min-SDF point along each ray over random stratified samples
     (ref ray_tracing.py:280-308). steps01: (n_steps,) uniforms in [0, 1)."""
     S = cfg.n_steps
-    R = org.shape[0]
-    ts = steps01[None, :] * (t_max - t_min)[:, None] + t_min[:, None]
-    pts = org[:, None, :] + ts[..., None] * dirs[:, None, :]
-    sdf_val = chunked_sdf(sdf_fn, pts.reshape(-1, 3),
-                          cfg.sdf_chunk).reshape(R, S)
+    shp = (1,) * t_min.ndim + (S,)
+    ts = steps01.reshape(shp) * (t_max - t_min)[..., None] + t_min[..., None]
+    pts = org[..., None, :] + ts[..., None] * dirs[..., None, :]
+    sdf_val = _eval_samples(cfg, sdf_fn, pts)
     idx = jnp.argmin(sdf_val, axis=-1)
-    ar = jnp.arange(R)
-    return pts[ar, idx], ts[ar, idx]
+    return _take(pts, idx), _take(ts, idx)
 
 
-def trace_rays(cfg: TracerConfig, sdf_fn, cam_loc, ray_dirs, object_mask,
+def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
                training: bool, key: Optional[jax.Array] = None,
                minimal_steps: Optional[jnp.ndarray] = None) -> TraceResult:
     """Full tracing pipeline (ref RayTracing.forward, ray_tracing.py:27-98).
 
-    cam_loc (B, 3); ray_dirs (B, P, 3); object_mask (B*P,) bool.
+    org (L..., 3) per-ray origins; dirs (L..., 3) unit directions;
+    object_mask (L...) bool. L is typically (B, P) with P the sharded axis.
     ``minimal_steps`` overrides the random stratified steps of the miss
     filler (for determinism/golden tests); otherwise drawn from ``key``.
     """
-    B, P, _ = ray_dirs.shape
-    R = B * P
-    t_nf, mask_intersect = get_sphere_intersection(
-        cam_loc, ray_dirs, r=cfg.object_bounding_sphere)
-    org = jnp.broadcast_to(cam_loc[:, None, :], (B, P, 3)).reshape(R, 3)
-    dirs = ray_dirs.reshape(R, 3)
-    t_near = t_nf[..., 0].reshape(R)
-    t_far = t_nf[..., 1].reshape(R)
-    mask_intersect = mask_intersect.reshape(R)
+    # Per-ray sphere intersection (ref rend_util.py:141-162, flat-ray form).
+    r_sph = cfg.object_bounding_sphere
+    d_dot_o = jnp.sum(dirs * org, axis=-1)
+    under = d_dot_o ** 2 - (jnp.sum(org ** 2, axis=-1) - r_sph ** 2)
+    mask_intersect = under > 0
+    sq = jnp.sqrt(jnp.where(mask_intersect, under, 0.0))
+    t_near = jnp.clip(jnp.where(mask_intersect, -d_dot_o - sq, 0.0), 0.0)
+    t_far = jnp.clip(jnp.where(mask_intersect, -d_dot_o + sq, 0.0), 0.0)
 
     unfin_s, t_s, t_e = _sphere_trace(
         cfg, sdf_fn, org, dirs, mask_intersect, t_near, t_far)
-    min_dis, max_dis = jnp.where(mask_intersect, t_near, 0.0), \
-        jnp.where(mask_intersect, t_far, 0.0)
+    min_dis = jnp.where(mask_intersect, t_near, 0.0)
+    max_dis = jnp.where(mask_intersect, t_far, 0.0)
 
     net_obj_mask = t_s < t_e
-    points = org + t_s[:, None] * dirs
+    points = org + t_s[..., None] * dirs
     dists = t_s
 
     # Fallback sampler for rays the march didn't finish (ref :44-61).
@@ -267,10 +277,9 @@ def trace_rays(cfg: TracerConfig, sdf_fn, cam_loc, ray_dirs, object_mask,
         cfg, sdf_fn, org, dirs, object_mask,
         jnp.where(sampler_mask, t_s, 0.0),
         jnp.where(sampler_mask, t_e, 0.0), training)
-    points = jnp.where(sampler_mask[:, None], smp_pts, points)
+    points = jnp.where(sampler_mask[..., None], smp_pts, points)
     dists = jnp.where(sampler_mask, smp_d, dists)
-    net_obj_mask = jnp.where(sampler_mask, smp_net & sampler_mask,
-                             net_obj_mask)
+    net_obj_mask = jnp.where(sampler_mask, smp_net, net_obj_mask)
 
     if not training:
         return TraceResult(points, net_obj_mask, dists, sampler_mask,
@@ -282,8 +291,8 @@ def trace_rays(cfg: TracerConfig, sdf_fn, cam_loc, ray_dirs, object_mask,
 
     # Rays missing the sphere: project the origin onto the ray (ref :79-84).
     left_out = (in_mask | out_mask) & ~mask_intersect
-    t_proj = -jnp.einsum("rd,rd->r", dirs, org)
-    points = jnp.where(left_out[:, None], org + t_proj[:, None] * dirs,
+    t_proj = -jnp.sum(dirs * org, axis=-1)
+    points = jnp.where(left_out[..., None], org + t_proj[..., None] * dirs,
                        points)
     dists = jnp.where(left_out, t_proj, dists)
 
@@ -296,7 +305,7 @@ def trace_rays(cfg: TracerConfig, sdf_fn, cam_loc, ray_dirs, object_mask,
         minimal_steps = jax.random.uniform(key, (cfg.n_steps,))
     mn_pts, mn_d = _minimal_sdf_points(cfg, sdf_fn, org, dirs, min_dis,
                                        max_dis, minimal_steps)
-    points = jnp.where(fill[:, None], mn_pts, points)
+    points = jnp.where(fill[..., None], mn_pts, points)
     dists = jnp.where(fill, mn_d, dists)
 
     return TraceResult(points, net_obj_mask, dists, sampler_mask,

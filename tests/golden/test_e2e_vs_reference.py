@@ -125,16 +125,16 @@ def test_forward_parity(setup):
     out, lt, grads = _run_ours(scene, params, cfg, steps, eik)
 
     np.testing.assert_array_equal(
-        np.asarray(out.network_object_mask),
+        np.asarray(out.network_object_mask).reshape(-1),
         ref_out["network_object_mask"].detach().numpy())
-    np.testing.assert_allclose(np.asarray(out.points),
+    np.testing.assert_allclose(np.asarray(out.points).reshape(-1, 3),
                                ref_out["points"].detach().numpy(), atol=5e-4)
-    np.testing.assert_allclose(np.asarray(out.sdf_output),
+    np.testing.assert_allclose(np.asarray(out.sdf_output).reshape(-1),
                                ref_out["sdf_output"].detach().numpy()[:, 0],
                                atol=5e-4)
-    hit = np.asarray(out.surface_mask)
+    hit = np.asarray(out.surface_mask).reshape(-1)
     np.testing.assert_allclose(
-        np.asarray(out.rgb_values)[hit],
+        np.asarray(out.rgb_values).reshape(-1, 3)[hit],
         ref_out["rgb_values"].detach().numpy()[hit], atol=1e-3)
 
 

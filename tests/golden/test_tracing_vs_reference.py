@@ -65,7 +65,8 @@ def test_trace_parity(ref, training):
     steps = torch.empty(100).uniform_(0.0, 1.0).numpy()
 
     cfg = TracerConfig()
-    res = trace_rays(cfg, sdf_jax, jnp.asarray(cam), jnp.asarray(dirs),
+    org = np.tile(cam, (dirs.shape[1], 1))
+    res = trace_rays(cfg, sdf_jax, jnp.asarray(org), jnp.asarray(dirs[0]),
                      jnp.asarray(om_np), training=training,
                      minimal_steps=jnp.asarray(steps))
 
@@ -96,7 +97,8 @@ def test_trace_parity_with_partial_mask(ref):
     torch.manual_seed(11)
     steps = torch.empty(100).uniform_(0.0, 1.0).numpy()
     cfg = TracerConfig()
-    res = trace_rays(cfg, sdf_jax, jnp.asarray(cam), jnp.asarray(dirs),
+    org = np.tile(cam, (dirs.shape[1], 1))
+    res = trace_rays(cfg, sdf_jax, jnp.asarray(org), jnp.asarray(dirs[0]),
                      jnp.asarray(om_np), training=True,
                      minimal_steps=jnp.asarray(steps))
     np.testing.assert_array_equal(np.asarray(res.network_object_mask),

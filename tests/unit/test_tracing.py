@@ -19,13 +19,14 @@ def make_rays(n, seed=0, spread=0.5, cam=(0.0, 0.0, 2.5)):
     targets = rng.uniform(-spread, spread, (1, n, 3)).astype(np.float32)
     dirs = targets - cam_loc[:, None, :]
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    return jnp.asarray(cam_loc), jnp.asarray(dirs)
+    org = np.tile(cam_loc, (n, 1))
+    return jnp.asarray(org), jnp.asarray(dirs[0])
 
 
 def analytic_sphere_hit(cam, dirs, center, radius):
     """Closed-form first intersection distance (nan if miss)."""
     o = np.asarray(cam)[0] - np.asarray(center)
-    d = np.asarray(dirs)[0]
+    d = np.asarray(dirs)
     b = d @ o
     disc = b ** 2 - (o @ o - radius ** 2)
     t = -b - np.sqrt(np.maximum(disc, 0))
@@ -59,9 +60,10 @@ def test_trace_miss_rays_marked():
     cfg = TracerConfig()
     sdf = sphere_sdf((0, 0, 0), 0.3)
     # rays pointing away from the object sphere
-    cam = jnp.asarray([[0.0, 0.0, 2.0]])
-    dirs_away = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (64, 1))
-    dirs = jnp.asarray(dirs_away[None])
+    cam = jnp.asarray(np.tile(np.array([[0.0, 0.0, 2.0]], np.float32),
+                              (64, 1)))
+    dirs = jnp.asarray(np.tile(np.array([[0.0, 0.0, 1.0]], np.float32),
+                               (64, 1)))
     om = jnp.ones((64,), bool)
     res = trace_rays(cfg, sdf, cam, dirs, om, training=False)
     assert not bool(np.asarray(res.network_object_mask).any())
@@ -85,7 +87,7 @@ def test_trace_training_fills_all_rays():
 
 
 def test_trace_is_jittable():
-    cfg = TracerConfig(sdf_chunk=0)
+    cfg = TracerConfig(sample_chunk=0)
     sdf = sphere_sdf((0, 0, 0), 0.5)
     cam, dirs = make_rays(64)
     om = jnp.ones((64,), bool)
@@ -106,11 +108,12 @@ def test_secant_converges_tighter_than_sampling():
         return jnp.linalg.norm(q, axis=-1) - r
 
     cfg = TracerConfig()
-    cam = jnp.asarray([[0.0, -1.8, 0.9]])
+    cam = jnp.asarray(np.tile(np.array([[0.0, -1.8, 0.9]], np.float32),
+                              (128, 1)))
     rng = np.random.default_rng(3)
-    targets = rng.uniform(-0.6, 0.6, (1, 128, 3)).astype(np.float32)
+    targets = rng.uniform(-0.6, 0.6, (128, 3)).astype(np.float32)
     targets[..., 2] *= 0.3
-    dirs = targets - np.asarray(cam)[:, None, :]
+    dirs = targets - np.asarray(cam)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     om = jnp.ones((128,), bool)
     res = trace_rays(cfg, torus, cam, jnp.asarray(dirs), om, training=False)
