@@ -1,0 +1,74 @@
+"""Benchmark: training-step throughput (rays/s/chip, forward+backward) of the
+full-size MVSDF model on the attached accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+driver's north star is >=5x V100 rays/s/chip. V100_RAYS_S below is a
+documented estimate of the PyTorch reference on V100: batch 8 x 4096 rays
+per optimizer step at ~0.3 steps/s (IDR-class pipelines train 1800 epochs x
+~6 steps in ~10-12 h on one V100) -> ~1e4 rays/s. vs_baseline is
+measured / V100_RAYS_S.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+V100_RAYS_S = 1.0e4
+
+# full-size model, reference training shape: batch 8 images x 4096 rays
+N_IMAGES = 8
+N_PIX = 4096
+FEAT_CH = 32
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # bf16x3 matmuls: near-f32 quality at ~3x the f32 MXU rate.
+    jax.config.update("jax_default_matmul_precision", "tensorfloat32")
+
+    sys.path.insert(0, ".")
+    from mvsdf_tpu.config import MVSDFConfig, TrainConfig
+    from mvsdf_tpu.train.step import (make_train_step, init_train_state,
+                                      weights_to_array)
+    from tests.golden.scene_fixtures import make_scene
+
+    cfg = MVSDFConfig(train=TrainConfig(batch_size=N_IMAGES,
+                                        num_pixels=N_PIX))
+    scene = make_scene(n_images=N_IMAGES, n_pix=N_PIX, feat_ch=FEAT_CH,
+                      img_hw=96, depth_hw=48)
+    batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}
+
+    state = init_train_state(cfg, seed=0)
+    step = make_train_step(cfg, phase_idx=1, donate=False)
+    w = weights_to_array(cfg.schedule.weights(0.3))
+    key = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, w, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, w, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / ITERS
+
+    rays_per_step = N_IMAGES * N_PIX
+    rays_s = rays_per_step / dt
+    print(json.dumps({
+        "metric": "train_rays_per_s_per_chip",
+        "value": round(rays_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_s / V100_RAYS_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
