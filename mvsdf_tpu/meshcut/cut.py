@@ -1,0 +1,70 @@
+"""Mesh trimming by max-flow/min-cut over face confidences.
+
+Behavioral parity target: ``code/mesh_cut/mesh_cut.py`` (+ the pybind11
+extension ``mesh_cut_ext.cpp:10-55``): face confidence = mean red channel of
+its vertex colors (the 1 - sigmoid(surface-indicator) baked by mesh export,
+ref plots.py:200-203); faces with confidence > thresh/255 are source-linked,
+the rest sink-linked, adjacency edges get capacity ``smooth``; the min-cut's
+source side is removed. Face adjacency is derived from shared edges (the
+reference's non-boundary half-edge twins) without open3d.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .native import load as load_native
+
+
+def face_adjacency_edges(faces: np.ndarray) -> np.ndarray:
+    """(F, 3) faces -> (E, 2) adjacent-face index pairs (edges shared by
+    exactly two faces, i.e. non-boundary)."""
+    F = len(faces)
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                        faces[:, [2, 0]]])
+    fid = np.tile(np.arange(F), 3)
+    key = e.min(1).astype(np.int64) << 32 | e.max(1).astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    fid_s = fid[order]
+    same = key_s[1:] == key_s[:-1]
+    # pairs of consecutive equal keys = the two faces sharing that edge
+    i = np.nonzero(same)[0]
+    return np.stack([fid_s[i], fid_s[i + 1]], 1)
+
+
+def mesh_cut(face_labels: np.ndarray, edges_with_cap: np.ndarray
+             ) -> np.ndarray:
+    """face_labels (F,) bool (True = source-linked / to-remove candidate);
+    edges_with_cap (E, 3) uint32 (u, v, cap). Returns (F,) bool source-side
+    membership (faces to remove). Parity with mesh_cut_ext.mesh_cut."""
+    lib = load_native()
+    labels = np.ascontiguousarray(face_labels.astype(np.uint8))
+    edges = np.ascontiguousarray(edges_with_cap.astype(np.uint32))
+    out = np.zeros(len(labels), np.uint8)
+    lib.mesh_maxflow_cut(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(len(labels)),
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        np.int64(len(edges)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.astype(bool)
+
+
+def trim_mesh(verts: np.ndarray, faces: np.ndarray,
+              vertex_colors: np.ndarray, thresh: float = 15.0,
+              smooth: int = 10):
+    """Full trimming pipeline (ref mesh_cut.py:15-43). vertex_colors in
+    [0, 1]; thresh on the 0-255 scale like the reference CLI."""
+    conf = vertex_colors[faces, 0].mean(axis=1)  # mean red channel
+    labels = conf > (thresh / 255.0)
+    adj = face_adjacency_edges(faces)
+    edges = np.concatenate(
+        [adj, np.full((len(adj), 1), smooth, adj.dtype)], 1)
+    remove = mesh_cut(labels, edges)
+    keep_faces = faces[~remove]
+    used = np.unique(keep_faces.ravel())
+    remap = -np.ones(len(verts), np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[keep_faces], vertex_colors[used]

@@ -1,0 +1,91 @@
+"""Checkpoint/resume via orbax: params + optimizer state + epoch + PRNG key.
+
+Improves on the reference (``idr_train.py:164-199``), which saves three
+separate .pth files and loses the sampling RNG (resume is not bit-exact,
+SURVEY.md section 5.4): one atomic orbax step directory holds everything,
+multi-host aware.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state, rng_state=None):
+    """state: TrainState; rng_state: numpy Generator state dict (host
+    sampling RNG), stored alongside for bit-exact resume."""
+    ocp = _ckptr()
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    with ocp.PyTreeCheckpointer() as ck:
+        ck.save(path, {"params": state.params,
+                       "opt_state": state.opt_state,
+                       "epoch": state.epoch}, force=True)
+    if rng_state is not None:
+        import json
+        with open(os.path.join(path, "rng.json"), "w") as f:
+            json.dump(_jsonable(rng_state), f)
+    # update "latest" pointer
+    with open(os.path.join(os.path.abspath(ckpt_dir), "latest.txt"),
+              "w") as f:
+        f.write(str(step))
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    p = os.path.join(ckpt_dir, "latest.txt")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def restore_checkpoint(ckpt_dir: str, step: Optional[int], like_state):
+    """Restore into the structure of like_state. Returns (state, rng_state).
+    """
+    ocp = _ckptr()
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    with ocp.PyTreeCheckpointer() as ck:
+        tree = ck.restore(path, item={"params": like_state.params,
+                                      "opt_state": like_state.opt_state,
+                                      "epoch": like_state.epoch})
+    rng_state = None
+    rng_path = os.path.join(path, "rng.json")
+    if os.path.exists(rng_path):
+        import json
+        with open(rng_path) as f:
+            rng_state = _unjsonable(json.load(f))
+    state = type(like_state)(params=tree["params"],
+                             opt_state=tree["opt_state"],
+                             epoch=tree["epoch"])
+    return state, rng_state
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, np.ndarray):
+        return {"__nd__": obj.tolist(), "dtype": str(obj.dtype)}
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj
+
+
+def _unjsonable(obj):
+    if isinstance(obj, dict):
+        if "__nd__" in obj:
+            return np.asarray(obj["__nd__"], dtype=obj["dtype"])
+        return {k: _unjsonable(v) for k, v in obj.items()}
+    return obj

@@ -1,0 +1,135 @@
+"""Per-scene training loop.
+
+Behavioral parity target: ``code/training/idr_train.py`` (IDRTrainRunner):
+shuffled drop-last batches of B images x P shared random pixels, 1800 epochs
+over three phases, checkpoints + mesh plots every nepochs/12 epochs. Batches
+are assembled host-side (numpy), shipped to the device mesh, and the step is
+one jitted program per phase.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import MVSDFConfig
+from ..data.scene import SceneData
+from ..parallel import make_mesh, device_put_batch
+from .step import (make_train_step, init_train_state, weights_to_array,
+                   TrainState)
+from . import checkpoints as ckpt
+
+
+class Trainer:
+    def __init__(self, cfg: MVSDFConfig, scene: SceneData, exp_dir: str,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 use_mesh: bool = True, log_fn=print):
+        self.cfg = cfg
+        self.scene = scene
+        self.exp_dir = exp_dir
+        self.ckpt_dir = os.path.join(exp_dir, "checkpoints")
+        self.plots_dir = os.path.join(exp_dir, "plots")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        os.makedirs(self.plots_dir, exist_ok=True)
+        self.log = log_fn
+        self.mesh = mesh if mesh is not None else (
+            make_mesh() if use_mesh and len(jax.devices()) > 1 else None)
+        self.steps = {}  # phase_idx -> jitted step
+        self.state = init_train_state(cfg, seed=cfg.train.seed)
+        self.rng = np.random.default_rng(cfg.train.seed)
+        self.key = jax.random.PRNGKey(cfg.train.seed)
+        self.start_epoch = 0
+        nepochs = cfg.train.nepochs
+        self.plot_freq = max(1, int(cfg.train.plot_freq * nepochs))
+
+    def maybe_resume(self):
+        step = ckpt.latest_step(self.ckpt_dir)
+        if step is None:
+            return False
+        self.state, rng_state = ckpt.restore_checkpoint(
+            self.ckpt_dir, step, self.state)
+        if rng_state is not None:
+            self.rng.bit_generator.state = rng_state
+        self.start_epoch = int(self.state.epoch) + 1
+        self.log(f"resumed from epoch {self.start_epoch - 1}")
+        return True
+
+    def _get_step(self, phase_idx: int):
+        if phase_idx not in self.steps:
+            self.steps[phase_idx] = make_train_step(
+                self.cfg, phase_idx, mesh=self.mesh, donate=False)
+        return self.steps[phase_idx]
+
+    def train_epoch(self, epoch: int):
+        cfg = self.cfg
+        tp = epoch / cfg.train.nepochs
+        phase_idx = cfg.schedule.phase_index(tp)
+        step = self._get_step(phase_idx)
+        w = weights_to_array(cfg.schedule.weights(tp))
+        self.scene.change_sampling_idx(cfg.train.num_pixels, self.rng)
+        self.state = self.state._replace(
+            epoch=jnp.asarray(epoch, jnp.int32))
+
+        t0 = time.perf_counter()
+        n_rays = 0
+        metrics = None
+        for batch_np in self.scene.epoch_batches(cfg.train.batch_size,
+                                                 self.rng):
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if self.mesh is not None:
+                batch = device_put_batch(self.mesh, batch)
+            self.key, k = jax.random.split(self.key)
+            self.state, metrics = step(self.state, batch, w, k)
+            n_rays += batch_np["uv"].shape[0] * batch_np["uv"].shape[1]
+        if metrics is not None:
+            jax.block_until_ready(metrics["loss"])
+            dt = time.perf_counter() - t0
+            m = {k: float(v) for k, v in metrics.items()}
+            self.log(
+                f"[{epoch}/{cfg.train.nepochs}] loss={m['loss']:.4f} "
+                f"rgb={m['rgb_loss']:.4f} eik={m['eikonal_loss']:.4f} "
+                f"depth={m['depth_loss']:.4f} feat={m['feat_loss']:.4f} "
+                f"surf={m['surf_loss']:.4f} |g|={m['grad_norm']:.2f} "
+                f"lr={m['lr']:.2e} hit={m['hit_frac']:.2f} "
+                f"rays/s={n_rays / dt:.0f}")
+        return metrics
+
+    def save(self, epoch: int):
+        ckpt.save_checkpoint(self.ckpt_dir, epoch, self.state,
+                             rng_state=self.rng.bit_generator.state)
+
+    def plot(self, epoch: int, resolution: int = 100):
+        """Periodic mesh snapshot (analog of plots.get_surface_trace,
+        ref idr_train.py:246-247)."""
+        from ..eval.marching import extract_mesh
+        from ..eval.mesh import save_obj
+        from ..fields.sdf import sdf_apply
+
+        params = self.state.params
+
+        def sdf(x):
+            return sdf_apply(self.cfg.model.implicit, params["implicit"], x)
+
+        verts, faces = extract_mesh(sdf, resolution=resolution)
+        if len(faces):
+            save_obj(os.path.join(self.plots_dir,
+                                  f"surface_{epoch}.obj"), verts, faces)
+
+    def run(self, resume: bool = True):
+        if resume:
+            self.maybe_resume()
+        cfg = self.cfg
+        for epoch in range(self.start_epoch, cfg.train.nepochs + 1):
+            self.train_epoch(epoch)
+            if epoch % self.plot_freq == 0 and epoch != 0:
+                self.save(epoch)
+                try:
+                    self.plot(epoch)
+                except Exception as e:  # plotting must never kill training
+                    self.log(f"plot failed at epoch {epoch}: {e}")
+        self.save(cfg.train.nepochs)
+        return self.state
