@@ -1,0 +1,120 @@
+"""Evaluation CLI: mesh extraction (+ optional rendering PSNR).
+
+Usage parity with the reference (``code/evaluation/eval.py:248-284``):
+    python -m mvsdf_tpu.eval.cli --data_dir DATA --expname NAME \
+        [--resolution 512] [--eval_rendering]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="mvsdf-tpu evaluation")
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--expname", default="mvsdf")
+    ap.add_argument("--exps_folder", default="exps")
+    ap.add_argument("--evals_folder", default="evals")
+    ap.add_argument("--timestamp", default="latest")
+    ap.add_argument("--checkpoint", default="latest")
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--eval_rendering", action="store_true")
+    ap.add_argument("--chunk_pixels", type=int, default=10000)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import MVSDFConfig
+    from ..data.scene import SceneData
+    from ..train.step import init_train_state
+    from ..train import checkpoints as ckpt
+    from ..fields.sdf import sdf_apply, implicit_apply
+    from ..rendering import render_forward
+    from .marching import extract_mesh
+    from .mesh import biggest_component, save_obj
+    from .psnr import masked_psnr
+
+    cfg = MVSDFConfig()
+    exp_base = os.path.join(args.exps_folder, args.expname)
+    stamp = args.timestamp
+    if stamp == "latest":
+        stamps = sorted(os.listdir(exp_base))
+        stamp = stamps[-1]
+    ckpt_dir = os.path.join(exp_base, stamp, "checkpoints")
+    evaldir = os.path.join(args.evals_folder, args.expname)
+    os.makedirs(evaldir, exist_ok=True)
+
+    state = init_train_state(cfg, seed=0)
+    step = None if args.checkpoint == "latest" else int(args.checkpoint)
+    state, _ = ckpt.restore_checkpoint(ckpt_dir, step, state)
+    params = state.params
+    epoch = int(state.epoch)
+
+    scene = SceneData(args.data_dir, load_features=False)
+
+    # --- mesh extraction (ref eval.py:109-125) ---------------------------
+    icfg = cfg.model.implicit
+
+    def sdf(x):
+        return sdf_apply(icfg, params["implicit"], x)
+
+    verts, faces = extract_mesh(sdf, resolution=args.resolution,
+                                scale_mat=scene.get_scale_mat())
+    verts, faces = biggest_component(verts, faces)
+    # surface-indicator vertex colors (ref plots.py:179-203): red = 1-s
+    vu = (verts - scene.get_scale_mat()[:3, 3]) @ np.linalg.inv(
+        scene.get_scale_mat()[:3, :3]).T
+    surf = jax.nn.sigmoid(implicit_apply(
+        icfg, params["implicit"], jnp.asarray(vu, jnp.float32))[..., 1])
+    surf = np.asarray(surf)
+    colors = np.stack([1 - surf, surf, np.zeros_like(surf)], -1)
+    out_obj = os.path.join(evaldir,
+                           f"surface_world_coordinates_{epoch}.obj")
+    save_obj(out_obj, verts, faces, colors)
+    print(f"mesh: {len(verts)} verts {len(faces)} faces -> {out_obj}")
+
+    # --- rendering eval (ref eval.py:127-185) ----------------------------
+    if args.eval_rendering:
+        from PIL import Image
+        images_dir = os.path.join(evaldir, "rendering")
+        os.makedirs(images_dir, exist_ok=True)
+        H, W = scene.img_res
+        psnrs = []
+        for idx in range(scene.n_images):
+            rgb_rows = []
+            for s in range(0, scene.total_pixels, args.chunk_pixels):
+                sel = np.arange(s, min(s + args.chunk_pixels,
+                                       scene.total_pixels))
+                inputs = {
+                    "uv": jnp.asarray(scene.uv[sel][None]),
+                    "intrinsics": jnp.asarray(scene.intrinsics[idx][None]),
+                    "pose": jnp.asarray(scene.poses[idx][None]),
+                    "object_mask": jnp.asarray(
+                        scene.masks[idx][sel][None]),
+                }
+                out = render_forward(cfg.model, params, inputs,
+                                     training=False)
+                rgb_rows.append(np.asarray(out.rgb_values[0]))
+            rgb = np.concatenate(rgb_rows, 0).reshape(H, W, 3)
+            rgb = (rgb + 1) / 2
+            Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(
+                np.uint8)).save(
+                os.path.join(images_dir, f"eval_{idx:03d}.png"))
+            mask_src = (scene.perfect_masks if scene.perfect_masks
+                        is not None else scene.masks)
+            mask = mask_src[idx].reshape(H, W, 1)
+            gt = (scene.rgb[idx].reshape(H, W, 3) + 1) / 2
+            psnrs.append(masked_psnr(rgb * mask, gt * mask, mask))
+        msg = (f"RENDERING EVALUATION {args.expname}: psnr mean = "
+               f"{np.mean(psnrs):.2f} ; psnr std = {np.std(psnrs):.2f}")
+        print(msg)
+        with open(os.path.join(evaldir, "psnr.txt"), "w") as f:
+            f.write(msg + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Mesh trimming CLI.
+
+Usage parity with the reference (``code/mesh_cut/mesh_cut.py:8-13``):
+    python -m mvsdf_tpu.meshcut.cli IN.obj OUT.obj [--thresh 15 --smooth 10]
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..eval.mesh import load_obj, save_obj
+from .cut import trim_mesh
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="max-flow mesh trimming")
+    ap.add_argument("input")
+    ap.add_argument("output")
+    ap.add_argument("--thresh", type=float, default=15.0)
+    ap.add_argument("--smooth", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    verts, faces, colors = load_obj(args.input)
+    if colors is None:
+        raise SystemExit("input OBJ has no vertex colors "
+                         "(surface-indicator confidences required)")
+    v, f, c = trim_mesh(verts, faces, colors, thresh=args.thresh,
+                        smooth=args.smooth)
+    save_obj(args.output, v, f, c)
+    print(f"trimmed {len(faces) - len(f)}/{len(faces)} faces -> "
+          f"{args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -121,43 +121,40 @@ def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
             cond, body, (0, t, not_proj, next_v))
         return t, next_v
 
-    def cond(state):
-        i, unfin_s, unfin_e, *_ = state
-        return (i <= cfg.sphere_tracing_iters) & (
-            jnp.any(unfin_s) | jnp.any(unfin_e))
-
-    def body(state):
-        i, unfin_s, unfin_e, t_s, t_e, next_s, next_e = state
+    def mask_update(unfin_s, unfin_e, next_s, next_e):
+        """Reference loop-top bookkeeping (ray_tracing.py:140-151)."""
         curr_s = jnp.where(unfin_s, next_s, 0.0)
         curr_s = jnp.where(curr_s <= thr, 0.0, curr_s)
         curr_e = jnp.where(unfin_e, next_e, 0.0)
         curr_e = jnp.where(curr_e <= thr, 0.0, curr_e)
-        unfin_s = unfin_s & (curr_s > thr)
-        unfin_e = unfin_e & (curr_e > thr)
+        return unfin_s & (curr_s > thr), unfin_e & (curr_e > thr), \
+            curr_s, curr_e
 
-        def march(args):
-            unfin_s, unfin_e, t_s, t_e, next_s, next_e = args
-            t_s2 = t_s + curr_s
-            t_e2 = t_e - curr_e
-            next_s2 = eval_masked(t_s2, unfin_s)
-            next_e2 = eval_masked(t_e2, unfin_e)
-            t_s2, next_s2 = line_search(t_s2, curr_s, next_s2, +1.0)
-            t_e2, next_e2 = line_search(t_e2, curr_e, next_e2, -1.0)
-            ok = t_s2 < t_e2
-            return unfin_s & ok, unfin_e & ok, t_s2, t_e2, next_s2, next_e2
-
-        # Only march while not at the final bookkeeping-only iteration
-        # (reference breaks *after* the mask update at iters ==
-        # sphere_tracing_iters; ray_tracing.py:153-155).
-        do_march = (i < cfg.sphere_tracing_iters) & (
+    def cond(state):
+        i, unfin_s, unfin_e, *_ = state
+        return (i < cfg.sphere_tracing_iters) & (
             jnp.any(unfin_s) | jnp.any(unfin_e))
-        unfin_s, unfin_e, t_s, t_e, next_s, next_e = jax.lax.cond(
-            do_march, march, lambda a: a,
-            (unfin_s, unfin_e, t_s, t_e, next_s, next_e))
-        return i + 1, unfin_s, unfin_e, t_s, t_e, next_s, next_e
+
+    def body(state):
+        i, unfin_s, unfin_e, t_s, t_e, next_s, next_e = state
+        unfin_s, unfin_e, curr_s, curr_e = mask_update(
+            unfin_s, unfin_e, next_s, next_e)
+        # March (no-op on lanes that just converged: curr == 0 there, and
+        # evals/line-search are masked to their frozen values).
+        t_s = t_s + curr_s
+        t_e = t_e - curr_e
+        next_s = eval_masked(t_s, unfin_s)
+        next_e = eval_masked(t_e, unfin_e)
+        t_s, next_s = line_search(t_s, curr_s, next_s, +1.0)
+        t_e, next_e = line_search(t_e, curr_e, next_e, -1.0)
+        ok = t_s < t_e
+        return i + 1, unfin_s & ok, unfin_e & ok, t_s, t_e, next_s, next_e
 
     _, unfin_s, unfin_e, t_s, t_e, next_s, next_e = jax.lax.while_loop(
         cond, body, (0, unfin_s, unfin_e, t_s, t_e, next_s, next_e))
+    # Final bookkeeping-only pass (the reference breaks *after* the mask
+    # update at iters == sphere_tracing_iters; ray_tracing.py:153-155).
+    unfin_s, unfin_e, _, _ = mask_update(unfin_s, unfin_e, next_s, next_e)
     return unfin_s, t_s, t_e
 
 

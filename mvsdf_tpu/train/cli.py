@@ -1,0 +1,61 @@
+"""Training CLI.
+
+Usage parity with the reference (``code/training/exp_runner.py:10-19``):
+    python -m mvsdf_tpu.train.cli --data_dir DATA --batch_size 8 \
+        --nepoch 1800 --expname NAME [--is_continue]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="mvsdf-tpu per-scene training")
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--nepoch", type=int, default=1800)
+    ap.add_argument("--num_pixels", type=int, default=4096)
+    ap.add_argument("--expname", default="mvsdf")
+    ap.add_argument("--exps_folder", default="exps")
+    ap.add_argument("--is_continue", action="store_true")
+    ap.add_argument("--timestamp", default="latest")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no_mesh", action="store_true",
+                    help="disable multi-device sharding")
+    ap.add_argument("--matmul_precision", default="tensorfloat32",
+                    choices=["default", "tensorfloat32", "highest"])
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+
+    from ..config import MVSDFConfig, TrainConfig
+    from ..data.scene import SceneData
+    from .loop import Trainer
+
+    cfg = MVSDFConfig(train=TrainConfig(
+        batch_size=args.batch_size, num_pixels=args.num_pixels,
+        nepochs=args.nepoch, seed=args.seed))
+
+    exp_base = os.path.join(args.exps_folder, args.expname)
+    if args.is_continue and args.timestamp == "latest" and \
+            os.path.isdir(exp_base):
+        stamps = sorted(os.listdir(exp_base))
+        stamp = stamps[-1] if stamps else datetime.now().strftime(
+            "%Y_%m_%d_%H_%M_%S")
+    elif args.is_continue:
+        stamp = args.timestamp
+    else:
+        stamp = datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    exp_dir = os.path.join(exp_base, stamp)
+    os.makedirs(exp_dir, exist_ok=True)
+
+    scene = SceneData(args.data_dir)
+    trainer = Trainer(cfg, scene, exp_dir, use_mesh=not args.no_mesh)
+    trainer.run(resume=args.is_continue)
+
+
+if __name__ == "__main__":
+    main()

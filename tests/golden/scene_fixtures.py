@@ -29,7 +29,7 @@ def look_at_extrinsic(cam_pos, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
 
 
 def make_scene(n_images=2, n_src=2, img_hw=64, depth_hw=32, n_pix=64,
-               seed=0, feat_ch=32):
+               seed=0, feat_ch=32, sphere_radius=0.6):
     """Returns dict of numpy arrays (float32) for both frameworks."""
     rng = np.random.default_rng(seed)
     B = n_images
@@ -70,7 +70,7 @@ def make_scene(n_images=2, n_src=2, img_hw=64, depth_hw=32, n_pix=64,
     intrinsics[:, :3, :3] = K_hd
     pose = np.stack([np.linalg.inv(extr[i]) for i in range(B)])
 
-    # plausible depth maps: distance from cam to a sphere of radius 0.6
+    # plausible depth maps: distance from cam to a sphere of sphere_radius
     # around origin along each pixel ray (zero = invalid border)
     depths = np.zeros((B, 1, 1, h, w), np.float32)
     for i in range(B):
@@ -84,7 +84,7 @@ def make_scene(n_images=2, n_src=2, img_hw=64, depth_hw=32, n_pix=64,
         dirs_w /= np.linalg.norm(dirs_w, axis=-1, keepdims=True)
         o = cam_pos[i]
         b = dirs_w @ o
-        disc = b ** 2 - (o @ o - 0.6 ** 2)
+        disc = b ** 2 - (o @ o - sphere_radius ** 2)
         tq = -b - np.sqrt(np.maximum(disc, 0))
         z = tq * (dirs_cam @ np.array([0, 0, 1.0])) / np.linalg.norm(
             dirs_cam, axis=-1)
