@@ -128,6 +128,10 @@ class ModelConfig:
     tracer: TracerConfig = TracerConfig()
     use_mask: bool = False           # conf.py:17
     disable_rgb_grad: bool = False   # conf.py:14
+    # Fused Pallas SDF evaluation for the (no-grad) trace phase: MLP weights
+    # resident in VMEM, no per-layer HBM round trips. TPU only.
+    use_pallas_trace: bool = False
+    pallas_block: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,7 +135,13 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
 
     # --- non-differentiable trace on frozen params (ref :192-198) ---------
     params_sg = jax.lax.stop_gradient(params)
-    sdf_frozen = lambda x: sdf_apply(icfg, params_sg["implicit"], x)
+    if cfg.use_pallas_trace:
+        from ..tracing.pallas import pack_sdf_weights, pallas_sdf_apply
+        packed = pack_sdf_weights(icfg, params_sg["implicit"])
+        sdf_frozen = lambda x: pallas_sdf_apply(
+            icfg, packed, x, block=cfg.pallas_block)
+    else:
+        sdf_frozen = lambda x: sdf_apply(icfg, params_sg["implicit"], x)
     if noise and "minimal_steps" in noise:
         min_steps = noise["minimal_steps"]
     else:

@@ -1,0 +1,2 @@
+from .sdf_kernel import (pack_sdf_weights, make_pallas_sdf_fn,
+                         pallas_sdf_apply)

@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: fused SDF-MLP evaluation with all weights resident in
+VMEM.
+
+The sphere-trace march (ref ``code/model/ray_tracing.py``) evaluates the
+9-layer 512-wide geometry MLP dozens of times per ray. Under plain XLA every
+layer writes its (N, 512) activation to HBM; this kernel keeps the whole
+weight set (~7.6 MB f32 for the full-size net — comfortably inside the
+~16 MB VMEM) and the running activation block on-chip, so each evaluation
+reads only the positionally-encoded points and writes only the SDF values.
+
+Layout tricks (all shapes padded to the (8/16, 128) TPU tile grid):
+  - the positional encoding (39 lanes for multires=6) is computed outside
+    the kernel (XLA fuses it) and zero-padded to 128 lanes;
+  - the skip concatenation ``cat(h, pe)/sqrt(2) @ W`` is rewritten as
+    ``(h @ W_h + pe @ W_pe) / sqrt(2)`` — no in-kernel concat;
+  - layers whose true width is narrower than the padded width (the pre-skip
+    layer: 473 of 512) zero-pad both the bias and the consuming weight's
+    rows, so the softplus(0 + 0) = log(2)/100 garbage lanes are annihilated
+    by the zero rows of the next matmul;
+  - only the SDF column of the final layer ships (tracing never needs the
+    indicator/feature outputs), broadcast into a 128-lane output block.
+
+Weight-norm reparameterization is folded into effective weights once per
+training step (``pack_sdf_weights``); the kernel sees plain matrices.
+"""
+from __future__ import annotations
+
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...fields.embedder import positional_encoding, embed_dim
+from ...fields.mlp import effective_weight
+from ...fields.sdf import ImplicitConfig
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def pack_sdf_weights(cfg: ImplicitConfig, params, dtype=jnp.float32):
+    """Fold weight norm and pad all layers to 128-lane tiles.
+
+    Returns dict:
+      w_in (Dpe_pad, H), b list[(1, H)], w_hid list[(H, H)],
+      w_skip_h (H, H), w_skip_pe (Dpe_pad, H) (when a skip exists),
+      w_out (H, 128), b_out (1, 128)
+    """
+    dims = cfg.layer_dims
+    n_layers = len(dims)
+    d_pe = dims[0]
+    d_pe_pad = _round_up(d_pe, 128)
+    H = _round_up(max(dims[1:-1]), 128)
+    assert all(d <= H for d in dims[1:-1])
+    skips = set(cfg.skip_in)
+
+    packed = {"layers": []}
+    for l in range(n_layers - 1):
+        W = effective_weight(params[l])  # (in, out)
+        b = params[l]["b"]
+        in_dim, out_dim = W.shape
+        last = l == n_layers - 2
+        if l == 0:
+            Wp = jnp.zeros((d_pe_pad, H), dtype).at[:in_dim, :out_dim].set(
+                W.astype(dtype))
+            bp = jnp.zeros((1, H), dtype).at[0, :out_dim].set(b.astype(dtype))
+            packed["layers"].append(("in", Wp, bp))
+        elif l in skips:
+            # input = cat(h_prev (in_dim - d_pe), pe (d_pe)) / sqrt(2)
+            h_dim = in_dim - d_pe
+            Wh = jnp.zeros((H, H), dtype).at[:h_dim, :out_dim].set(
+                W[:h_dim].astype(dtype))
+            Wpe = jnp.zeros((d_pe_pad, H), dtype).at[:d_pe, :out_dim].set(
+                W[h_dim:].astype(dtype))
+            bp = jnp.zeros((1, H), dtype).at[0, :out_dim].set(b.astype(dtype))
+            packed["layers"].append(("skip", Wh, Wpe, bp))
+        elif last:
+            # SDF column only, broadcast to a 128-lane block
+            Wp = jnp.zeros((H, 128), dtype).at[:in_dim, 0].set(
+                W[:, 0].astype(dtype))
+            bp = jnp.zeros((1, 128), dtype).at[0, 0].set(
+                b[0].astype(dtype))
+            packed["layers"].append(("out", Wp, bp))
+        else:
+            Wp = jnp.zeros((H, H), dtype).at[:in_dim, :out_dim].set(
+                W.astype(dtype))
+            bp = jnp.zeros((1, H), dtype).at[0, :out_dim].set(b.astype(dtype))
+            packed["layers"].append(("hid", Wp, bp))
+    packed["d_pe"] = d_pe
+    packed["d_pe_pad"] = d_pe_pad
+    packed["H"] = H
+    return packed
+
+
+def _softplus100(x):
+    return jnp.logaddexp(0.0, 100.0 * x) * 0.01
+
+
+def _make_kernel(layer_kinds, n_weight_args):
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+
+    def kernel(pe_ref, *refs):
+        w_refs = refs[:-1]
+        out_ref = refs[-1]
+        pe = pe_ref[:]
+        h = None
+        wi = 0
+        for kind in layer_kinds:
+            if kind == "in":
+                W, b = w_refs[wi][:], w_refs[wi + 1][:]
+                wi += 2
+                h = _softplus100(
+                    jnp.dot(pe, W, preferred_element_type=jnp.float32) + b)
+            elif kind == "hid":
+                W, b = w_refs[wi][:], w_refs[wi + 1][:]
+                wi += 2
+                h = _softplus100(
+                    jnp.dot(h, W, preferred_element_type=jnp.float32) + b)
+            elif kind == "skip":
+                Wh, Wpe, b = (w_refs[wi][:], w_refs[wi + 1][:],
+                              w_refs[wi + 2][:])
+                wi += 3
+                z = (jnp.dot(h, Wh, preferred_element_type=jnp.float32) +
+                     jnp.dot(pe, Wpe,
+                             preferred_element_type=jnp.float32)) * inv_sqrt2
+                h = _softplus100(z + b)
+            else:  # out
+                W, b = w_refs[wi][:], w_refs[wi + 1][:]
+                wi += 2
+                out_ref[:] = jnp.dot(
+                    h, W, preferred_element_type=jnp.float32) + b
+        assert wi == n_weight_args
+
+    return kernel
+
+
+def pallas_sdf_apply(cfg: ImplicitConfig, packed, x, block: int = 1024,
+                     interpret: bool = False):
+    """SDF at x (..., 3) -> (...) via the fused kernel. ``packed`` is a
+    traced pytree from pack_sdf_weights — safe to call inside a larger jit
+    (e.g. the training step, re-packing effective weights each step)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d_pe = packed["d_pe"]
+    d_pe_pad = packed["d_pe_pad"]
+
+    weight_args = []
+    layer_kinds = []
+    for entry in packed["layers"]:
+        layer_kinds.append(entry[0])
+        weight_args.extend(entry[1:])
+    kernel = _make_kernel(layer_kinds, len(weight_args))
+
+    lead = x.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(n, 3)
+    pe = positional_encoding(xf, cfg.multires)
+    pe = jnp.pad(pe, ((0, 0), (0, d_pe_pad - d_pe)))
+    n_pad = _round_up(max(n, block), block)
+    pe = jnp.pad(pe, ((0, n_pad - n), (0, 0)))
+
+    grid = (n_pad // block,)
+    in_specs = [pl.BlockSpec((block, d_pe_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in weight_args:
+        in_specs.append(pl.BlockSpec(
+            w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+            memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(pe, *weight_args)
+    return out[:n, 0].reshape(lead)
+
+
+def make_pallas_sdf_fn(cfg: ImplicitConfig, packed, block: int = 1024,
+                       interpret: bool = False):
+    """Convenience closure: sdf_fn(x) with packed weights captured."""
+    @jax.jit
+    def sdf_fn(x):
+        return pallas_sdf_apply(cfg, packed, x, block=block,
+                                interpret=interpret)
+
+    return sdf_fn
