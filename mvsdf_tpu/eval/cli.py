@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--eval_rendering", action="store_true")
     ap.add_argument("--chunk_pixels", type=int, default=10000)
+    ap.add_argument("--render_mode", action="store_true",
+                    help="high-quality tracing (dist clip 0.05, 40 iters; "
+                         "the reference's IDR_RENDER=1) and skip the mesh")
     args = ap.parse_args(argv)
 
     import jax
@@ -39,6 +42,12 @@ def main(argv=None):
     from .psnr import masked_psnr
 
     cfg = MVSDFConfig()
+    if args.render_mode:
+        # ref ray_tracing.py:127-131 + eval.py:106-107
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, tracer=dataclasses.replace(
+                cfg.model.tracer, dist_clip=0.05, sphere_tracing_iters=40)))
     exp_base = os.path.join(args.exps_folder, args.expname)
     stamp = args.timestamp
     if stamp == "latest":
@@ -62,20 +71,21 @@ def main(argv=None):
     def sdf(x):
         return sdf_apply(icfg, params["implicit"], x)
 
-    verts, faces = extract_mesh(sdf, resolution=args.resolution,
-                                scale_mat=scene.get_scale_mat())
-    verts, faces = biggest_component(verts, faces)
-    # surface-indicator vertex colors (ref plots.py:179-203): red = 1-s
-    vu = (verts - scene.get_scale_mat()[:3, 3]) @ np.linalg.inv(
-        scene.get_scale_mat()[:3, :3]).T
-    surf = jax.nn.sigmoid(implicit_apply(
-        icfg, params["implicit"], jnp.asarray(vu, jnp.float32))[..., 1])
-    surf = np.asarray(surf)
-    colors = np.stack([1 - surf, surf, np.zeros_like(surf)], -1)
-    out_obj = os.path.join(evaldir,
-                           f"surface_world_coordinates_{epoch}.obj")
-    save_obj(out_obj, verts, faces, colors)
-    print(f"mesh: {len(verts)} verts {len(faces)} faces -> {out_obj}")
+    if not args.render_mode:
+        verts, faces = extract_mesh(sdf, resolution=args.resolution,
+                                    scale_mat=scene.get_scale_mat())
+        verts, faces = biggest_component(verts, faces)
+        # surface-indicator vertex colors (ref plots.py:179-203): red = 1-s
+        vu = (verts - scene.get_scale_mat()[:3, 3]) @ np.linalg.inv(
+            scene.get_scale_mat()[:3, :3]).T
+        surf = jax.nn.sigmoid(implicit_apply(
+            icfg, params["implicit"], jnp.asarray(vu, jnp.float32))[..., 1])
+        surf = np.asarray(surf)
+        colors = np.stack([1 - surf, surf, np.zeros_like(surf)], -1)
+        out_obj = os.path.join(evaldir,
+                               f"surface_world_coordinates_{epoch}.obj")
+        save_obj(out_obj, verts, faces, colors)
+        print(f"mesh: {len(verts)} verts {len(faces)} faces -> {out_obj}")
 
     # --- rendering eval (ref eval.py:127-185) ----------------------------
     if args.eval_rendering:

@@ -22,6 +22,7 @@ from ..parallel import make_mesh, device_put_batch
 from .step import (make_train_step, init_train_state, weights_to_array,
                    TrainState)
 from . import checkpoints as ckpt
+from .metrics import MetricsLogger, Throughput
 
 
 class Trainer:
@@ -45,6 +46,9 @@ class Trainer:
         self.start_epoch = 0
         nepochs = cfg.train.nepochs
         self.plot_freq = max(1, int(cfg.train.plot_freq * nepochs))
+        self.metrics_log = MetricsLogger(
+            os.path.join(exp_dir, "metrics.jsonl"), echo=lambda *_: None)
+        self.throughput = Throughput()
 
     def maybe_resume(self):
         step = ckpt.latest_step(self.ckpt_dir)
@@ -89,6 +93,7 @@ class Trainer:
             jax.block_until_ready(metrics["loss"])
             dt = time.perf_counter() - t0
             m = {k: float(v) for k, v in metrics.items()}
+            self.metrics_log.log(epoch, rays_per_s=n_rays / dt, **m)
             self.log(
                 f"[{epoch}/{cfg.train.nepochs}] loss={m['loss']:.4f} "
                 f"rgb={m['rgb_loss']:.4f} eik={m['eikonal_loss']:.4f} "
