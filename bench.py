@@ -26,12 +26,28 @@ WARMUP = 3
 ITERS = 10
 
 
+def _progress(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
     import jax
     import jax.numpy as jnp
-
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # bf16x3 matmuls: near-f32 quality at ~3x the f32 MXU rate.
     jax.config.update("jax_default_matmul_precision", "tensorfloat32")
+
+    # The first compile in a process pays a large fixed backend-init cost on
+    # the tunneled TPU; absorb it on a trivial program.
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+    _progress(f"backend init: {time.perf_counter() - t0:.1f}s")
 
     sys.path.insert(0, ".")
     from mvsdf_tpu.config import MVSDFConfig, TrainConfig
@@ -41,6 +57,12 @@ def main():
 
     cfg = MVSDFConfig(train=TrainConfig(batch_size=N_IMAGES,
                                         num_pixels=N_PIX))
+    if os.environ.get("MVSDF_BENCH_PALLAS", "1") == "1":
+        # fused VMEM-resident SDF kernel for the no-grad trace phase
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, use_pallas_trace=True))
+        _progress("pallas trace kernel: on")
     scene = make_scene(n_images=N_IMAGES, n_pix=N_PIX, feat_ch=FEAT_CH,
                       img_hw=96, depth_hw=48)
     batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}
@@ -50,9 +72,11 @@ def main():
     w = weights_to_array(cfg.schedule.weights(0.3))
     key = jax.random.PRNGKey(0)
 
+    t0 = time.perf_counter()
     for _ in range(WARMUP):
         state, metrics = step(state, batch, w, key)
     jax.block_until_ready(metrics["loss"])
+    _progress(f"step compile+warmup: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for _ in range(ITERS):

@@ -26,6 +26,12 @@ def main(argv=None):
     ap.add_argument("--render_mode", action="store_true",
                     help="high-quality tracing (dist clip 0.05, 40 iters; "
                          "the reference's IDR_RENDER=1) and skip the mesh")
+    ap.add_argument("--only_cam", default="",
+                    help="free-viewpoint rendering: path to a cameras npz "
+                         "(world_mat_i/scale_mat_i); renders those views "
+                         "without images (the reference's IDR_ONLY_CAM=1)")
+    ap.add_argument("--only_cam_size", default="",
+                    help="HxW output resolution for --only_cam")
     args = ap.parse_args(argv)
 
     import jax
@@ -62,6 +68,10 @@ def main(argv=None):
     state, _ = ckpt.restore_checkpoint(ckpt_dir, step, state)
     params = state.params
     epoch = int(state.epoch)
+
+    if args.only_cam:
+        _render_only_cam(args, cfg, params, evaldir)
+        return
 
     scene = SceneData(args.data_dir, load_features=False)
 
@@ -124,6 +134,41 @@ def main(argv=None):
         print(msg)
         with open(os.path.join(evaldir, "psnr.txt"), "w") as f:
             f.write(msg + "\n")
+
+
+def _render_only_cam(args, cfg, params, evaldir):
+    """Free-viewpoint rendering from a cameras-only npz (the reference's
+    IDR_ONLY_CAM dataset mode, scene_dataset.py:26-56)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from ..geometry.cameras import decompose_projection
+    from ..rendering import render_forward
+
+    H, W = (int(v) for v in args.only_cam_size.split(","))
+    cams = np.load(args.only_cam)
+    n = len([k for k in cams.files if k.startswith("world_mat_")])
+    out_dir = os.path.join(evaldir, "rendering2")
+    os.makedirs(out_dir, exist_ok=True)
+    uv = np.stack(np.meshgrid(np.arange(W), np.arange(H)),
+                  -1).reshape(-1, 2).astype(np.float32)
+    for i in range(n):
+        P = (cams[f"world_mat_{i}"] @ cams[f"scale_mat_{i}"])[:3, :4]
+        intr, pose = decompose_projection(P)
+        rows = []
+        for s in range(0, H * W, args.chunk_pixels):
+            sel = slice(s, min(s + args.chunk_pixels, H * W))
+            inputs = {
+                "uv": jnp.asarray(uv[sel][None]),
+                "intrinsics": jnp.asarray(intr[None]),
+                "pose": jnp.asarray(pose[None]),
+                "object_mask": jnp.ones((1, uv[sel].shape[0]), bool),
+            }
+            out = render_forward(cfg.model, params, inputs, training=False)
+            rows.append(np.asarray(out.rgb_values[0]))
+        rgb = (np.concatenate(rows, 0).reshape(H, W, 3) + 1) / 2
+        Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"eval_{i:03d}.png"))
+    print(f"rendered {n} free viewpoints -> {out_dir}")
 
 
 if __name__ == "__main__":

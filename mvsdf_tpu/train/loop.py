@@ -107,9 +107,11 @@ class Trainer:
         ckpt.save_checkpoint(self.ckpt_dir, epoch, self.state,
                              rng_state=self.rng.bit_generator.state)
 
-    def plot(self, epoch: int, resolution: int = 100):
+    def plot(self, epoch: int, resolution: int = 100, full: bool = False,
+             chunk_pixels: int = 10000):
         """Periodic mesh snapshot (analog of plots.get_surface_trace,
-        ref idr_train.py:246-247)."""
+        ref idr_train.py:246-247); with full=True also renders one full
+        image and writes a rendered-vs-GT grid (ref plot_epoch full)."""
         from ..eval.marching import extract_mesh
         from ..eval.mesh import save_obj
         from ..fields.sdf import sdf_apply
@@ -124,6 +126,30 @@ class Trainer:
             save_obj(os.path.join(self.plots_dir,
                                   f"surface_{epoch}.obj"), verts, faces)
 
+        if full:
+            from ..rendering import render_forward
+            from ..eval.plots import plot_image_grid
+            idx = int(self.rng.integers(self.scene.n_images))
+            rows = []
+            for s in range(0, self.scene.total_pixels, chunk_pixels):
+                sel = np.arange(s, min(s + chunk_pixels,
+                                       self.scene.total_pixels))
+                inputs = {
+                    "uv": jnp.asarray(self.scene.uv[sel][None]),
+                    "intrinsics": jnp.asarray(
+                        self.scene.intrinsics[idx][None]),
+                    "pose": jnp.asarray(self.scene.poses[idx][None]),
+                    "object_mask": jnp.asarray(
+                        self.scene.masks[idx][sel][None]),
+                }
+                out = render_forward(self.cfg.model, params, inputs,
+                                     training=False)
+                rows.append(np.asarray(out.rgb_values[0]))
+            rgb = np.concatenate(rows, 0)[None]
+            plot_image_grid(
+                os.path.join(self.plots_dir, f"rendering_{epoch}.png"),
+                rgb, self.scene.rgb[idx][None], self.scene.img_res)
+
     def run(self, resume: bool = True):
         if resume:
             self.maybe_resume()
@@ -133,7 +159,9 @@ class Trainer:
             if epoch % self.plot_freq == 0 and epoch != 0:
                 self.save(epoch)
                 try:
-                    self.plot(epoch)
+                    # full render every 4th plot (ref idr_train.py:324-328)
+                    full = (epoch // self.plot_freq) % 4 == 0
+                    self.plot(epoch, full=full)
                 except Exception as e:  # plotting must never kill training
                     self.log(f"plot failed at epoch {epoch}: {e}")
         self.save(cfg.train.nepochs)
