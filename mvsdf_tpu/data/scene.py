@@ -156,11 +156,15 @@ class SceneData:
         src_ids = self.pair[img_id]["pair"][:self.num_src]
         return [self.pair[s]["index"] for s in src_ids]
 
-    def get_batch(self, indices, full: bool = False):
+    def get_batch(self, indices, full: bool = False, ray_slice=None):
         """Assemble a (B, P) training batch dict of numpy arrays for the
-        given image indices (ref __getitem__ + collate, :165-242)."""
+        given image indices (ref __getitem__ + collate, :165-242).
+        ray_slice restricts to this host's portion of the shared pixel
+        subset (host-sharded loading on multi-host pods)."""
         sel = (np.arange(self.total_pixels) if
                (full or self.sampling_idx is None) else self.sampling_idx)
+        if ray_slice is not None:
+            sel = sel[ray_slice]
         B = len(indices)
         batch = {
             "uv": np.stack([self.uv[sel] for _ in indices]),
@@ -183,11 +187,13 @@ class SceneData:
             batch["src_cams"] = np.stack([self.cams_hd[s] for s in srcs])
         return batch
 
-    def epoch_batches(self, batch_size: int, rng: np.random.Generator):
+    def epoch_batches(self, batch_size: int, rng: np.random.Generator,
+                      ray_slice=None):
         """Shuffled drop-last batching (ref idr_train.py:91-96)."""
         order = rng.permutation(self.n_images)
         for i in range(0, self.n_images - batch_size + 1, batch_size):
-            yield self.get_batch(order[i:i + batch_size])
+            yield self.get_batch(order[i:i + batch_size],
+                                 ray_slice=ray_slice)
 
     def get_scale_mat(self):
         return self.scale_mats[0]

@@ -40,3 +40,24 @@ def device_put_batch(mesh, batch):
     return {k: jax.device_put(v, s)
             for (k, v), s in zip(batch.items(),
                                  batch_shardings(mesh, batch).values())}
+
+
+def host_ray_slice(num_pixels: int):
+    """This host's slice of the per-image ray axis: each host samples and
+    feeds only its own rays (host-sharded data loading; the per-epoch pixel
+    subset itself is seeded identically on every host)."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = num_pixels // n
+    return slice(i * per, (i + 1) * per)
+
+
+def global_batch_from_local(mesh, local_batch):
+    """Assemble global sharded arrays from per-process local data: ray keys
+    carry this host's ray slice, replicated keys carry identical full
+    copies. Single-process: plain device_put."""
+    if jax.process_count() == 1:
+        return device_put_batch(mesh, local_batch)
+    sh = batch_shardings(mesh, local_batch)
+    return {k: jax.make_array_from_process_local_data(sh[k], v)
+            for k, v in local_batch.items()}

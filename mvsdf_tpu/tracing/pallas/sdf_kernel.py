@@ -101,6 +101,10 @@ def _softplus100(x):
 
 def _make_kernel(layer_kinds, n_weight_args):
     inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    # Explicit DEFAULT precision: Mosaic rejects the session-wide
+    # tensorfloat32/HIGH setting, and f32 dots are exact here anyway.
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
 
     def kernel(pe_ref, *refs):
         w_refs = refs[:-1]
@@ -112,26 +116,21 @@ def _make_kernel(layer_kinds, n_weight_args):
             if kind == "in":
                 W, b = w_refs[wi][:], w_refs[wi + 1][:]
                 wi += 2
-                h = _softplus100(
-                    jnp.dot(pe, W, preferred_element_type=jnp.float32) + b)
+                h = _softplus100(dot(pe, W) + b)
             elif kind == "hid":
                 W, b = w_refs[wi][:], w_refs[wi + 1][:]
                 wi += 2
-                h = _softplus100(
-                    jnp.dot(h, W, preferred_element_type=jnp.float32) + b)
+                h = _softplus100(dot(h, W) + b)
             elif kind == "skip":
                 Wh, Wpe, b = (w_refs[wi][:], w_refs[wi + 1][:],
                               w_refs[wi + 2][:])
                 wi += 3
-                z = (jnp.dot(h, Wh, preferred_element_type=jnp.float32) +
-                     jnp.dot(pe, Wpe,
-                             preferred_element_type=jnp.float32)) * inv_sqrt2
+                z = (dot(h, Wh) + dot(pe, Wpe)) * inv_sqrt2
                 h = _softplus100(z + b)
             else:  # out
                 W, b = w_refs[wi][:], w_refs[wi + 1][:]
                 wi += 2
-                out_ref[:] = jnp.dot(
-                    h, W, preferred_element_type=jnp.float32) + b
+                out_ref[:] = dot(h, W) + b
         assert wi == n_weight_args
 
     return kernel

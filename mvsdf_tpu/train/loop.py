@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..config import MVSDFConfig
 from ..data.scene import SceneData
 from ..parallel import make_mesh, device_put_batch
+from ..parallel.sharding import host_ray_slice, global_batch_from_local
 from .step import (make_train_step, init_train_state, weights_to_array,
                    TrainState)
 from . import checkpoints as ckpt
@@ -81,14 +82,18 @@ class Trainer:
         t0 = time.perf_counter()
         n_rays = 0
         metrics = None
+        # each host loads only its ray slice of the shared pixel subset
+        rs = (host_ray_slice(cfg.train.num_pixels)
+              if jax.process_count() > 1 else None)
         for batch_np in self.scene.epoch_batches(cfg.train.batch_size,
-                                                 self.rng):
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                                                 self.rng, ray_slice=rs):
             if self.mesh is not None:
-                batch = device_put_batch(self.mesh, batch)
+                batch = global_batch_from_local(self.mesh, batch_np)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             self.key, k = jax.random.split(self.key)
             self.state, metrics = step(self.state, batch, w, k)
-            n_rays += batch_np["uv"].shape[0] * batch_np["uv"].shape[1]
+            n_rays += cfg.train.batch_size * cfg.train.num_pixels
         if metrics is not None:
             jax.block_until_ready(metrics["loss"])
             dt = time.perf_counter() - t0
