@@ -57,12 +57,20 @@ def main():
 
     cfg = MVSDFConfig(train=TrainConfig(batch_size=N_IMAGES,
                                         num_pixels=N_PIX))
+    import dataclasses
     if os.environ.get("MVSDF_BENCH_PALLAS", "1") == "1":
         # fused VMEM-resident SDF kernel for the no-grad trace phase
-        import dataclasses
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True))
         _progress("pallas trace kernel: on")
+    if os.environ.get("MVSDF_BENCH_COMPACT", "1") == "1":
+        # fallback-stage compaction (exact; dense branch on overflow)
+        tr = dataclasses.replace(cfg.model.tracer,
+                                 sampler_capacity_frac=0.25,
+                                 fill_capacity_frac=0.5)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, tracer=tr))
+        _progress("fallback compaction: on")
     scene = make_scene(n_images=N_IMAGES, n_pix=N_PIX, feat_ch=FEAT_CH,
                       img_hw=96, depth_hw=48)
     batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}

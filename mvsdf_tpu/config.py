@@ -129,9 +129,11 @@ class ModelConfig:
     use_mask: bool = False           # conf.py:17
     disable_rgb_grad: bool = False   # conf.py:14
     # Fused Pallas SDF evaluation for the (no-grad) trace phase: MLP weights
-    # resident in VMEM, no per-layer HBM round trips. TPU only.
+    # resident in VMEM, no per-layer HBM round trips. TPU only
+    # (pallas_interpret=True runs the kernel interpreted for CPU testing).
     use_pallas_trace: bool = False
     pallas_block: int = 1024
+    pallas_interpret: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -139,7 +139,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
         from ..tracing.pallas import pack_sdf_weights, pallas_sdf_apply
         packed = pack_sdf_weights(icfg, params_sg["implicit"])
         sdf_frozen = lambda x: pallas_sdf_apply(
-            icfg, packed, x, block=cfg.pallas_block)
+            icfg, packed, x, block=cfg.pallas_block,
+            interpret=cfg.pallas_interpret)
     else:
         sdf_frozen = lambda x: sdf_apply(icfg, params_sg["implicit"], x)
     if noise and "minimal_steps" in noise:

@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +47,13 @@ class TracerConfig:
     n_secant_steps: int = 8
     dist_clip: float = 0.5  # 0.05 in high-quality render mode (ref :127-131)
     sample_chunk: int = 20  # sample-axis slices evaluated per lax.map step
+    # Fallback-stage compaction: the uniform sampler / min-SDF filler only
+    # process this fraction of rays (gathered by mask) when the active count
+    # fits; otherwise a dense branch runs (exact in both cases). 1.0 = always
+    # dense (the reference-parity default). Single-chip optimization: the
+    # gather crosses shard boundaries, so leave at 1.0 on multi-chip meshes.
+    sampler_capacity_frac: float = 1.0
+    fill_capacity_frac: float = 1.0
 
 
 class TraceResult(NamedTuple):
@@ -240,6 +248,32 @@ def _minimal_sdf_points(cfg: TracerConfig, sdf_fn, org, dirs, t_min, t_max,
     return _take(pts, idx), _take(ts, idx)
 
 
+def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
+    """Run ``fn`` (mapping per-ray input arrays -> tuple of per-ray outputs)
+    only on up to ``capacity`` mask-selected rays, scattering results back
+    into full-size arrays; falls back to the dense computation when more
+    rays are active than fit. Exact either way.
+
+    per_ray_inputs: flat (R, ...) arrays; out_builders: zero arrays defining
+    output shapes/dtypes ((R, ...) each).
+    """
+    R = mask.shape[0]
+    count = jnp.sum(mask)
+
+    def dense(_):
+        return tuple(fn(*per_ray_inputs))
+
+    def compact(_):
+        order = jnp.argsort(~mask, stable=True)
+        idx = order[:capacity]
+        sub = [a[idx] for a in per_ray_inputs]
+        outs = fn(*sub)
+        return tuple(base.at[idx].set(o)
+                     for base, o in zip(out_builders, outs))
+
+    return jax.lax.cond(count <= capacity, compact, dense, 0)
+
+
 def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
                training: bool, key: Optional[jax.Array] = None,
                minimal_steps: Optional[jnp.ndarray] = None) -> TraceResult:
@@ -270,10 +304,27 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
 
     # Fallback sampler for rays the march didn't finish (ref :44-61).
     sampler_mask = unfin_s
-    smp_pts, smp_net, smp_d = _ray_sampler(
-        cfg, sdf_fn, org, dirs, object_mask,
-        jnp.where(sampler_mask, t_s, 0.0),
-        jnp.where(sampler_mask, t_e, 0.0), training)
+    lead = org.shape[:-1]
+    R = int(np.prod(lead))
+    smp_t_min = jnp.where(sampler_mask, t_s, 0.0)
+    smp_t_max = jnp.where(sampler_mask, t_e, 0.0)
+    if cfg.sampler_capacity_frac >= 1.0:
+        smp_pts, smp_net, smp_d = _ray_sampler(
+            cfg, sdf_fn, org, dirs, object_mask, smp_t_min, smp_t_max,
+            training)
+    else:
+        cap = max(128, int(R * cfg.sampler_capacity_frac))
+        fn = lambda o, d, m, lo, hi: _ray_sampler(
+            cfg, sdf_fn, o, d, m, lo, hi, training)
+        smp_pts, smp_net, smp_d = _compact_call(
+            fn, sampler_mask.reshape(R), cap,
+            [org.reshape(R, 3), dirs.reshape(R, 3),
+             object_mask.reshape(R), smp_t_min.reshape(R),
+             smp_t_max.reshape(R)],
+            [jnp.zeros((R, 3)), jnp.zeros((R,), bool), jnp.zeros((R,))])
+        smp_pts = smp_pts.reshape(lead + (3,))
+        smp_net = smp_net.reshape(lead)
+        smp_d = smp_d.reshape(lead)
     points = jnp.where(sampler_mask[..., None], smp_pts, points)
     dists = jnp.where(sampler_mask, smp_d, dists)
     net_obj_mask = jnp.where(sampler_mask, smp_net, net_obj_mask)
@@ -300,8 +351,20 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
         if key is None:
             raise ValueError("training trace needs key or minimal_steps")
         minimal_steps = jax.random.uniform(key, (cfg.n_steps,))
-    mn_pts, mn_d = _minimal_sdf_points(cfg, sdf_fn, org, dirs, min_dis,
-                                       max_dis, minimal_steps)
+    if cfg.fill_capacity_frac >= 1.0:
+        mn_pts, mn_d = _minimal_sdf_points(cfg, sdf_fn, org, dirs, min_dis,
+                                           max_dis, minimal_steps)
+    else:
+        cap = max(128, int(R * cfg.fill_capacity_frac))
+        fn = lambda o, d, lo, hi: _minimal_sdf_points(
+            cfg, sdf_fn, o, d, lo, hi, minimal_steps)
+        mn_pts, mn_d = _compact_call(
+            fn, fill.reshape(R), cap,
+            [org.reshape(R, 3), dirs.reshape(R, 3), min_dis.reshape(R),
+             max_dis.reshape(R)],
+            [jnp.zeros((R, 3)), jnp.zeros((R,))])
+        mn_pts = mn_pts.reshape(lead + (3,))
+        mn_d = mn_d.reshape(lead)
     points = jnp.where(fill[..., None], mn_pts, points)
     dists = jnp.where(fill, mn_d, dists)
 

@@ -1,0 +1,70 @@
+"""Compact-capacity fallback stages must be exactly equal to the dense
+path — both when the active count fits the capacity (compact branch) and
+when it overflows (dense branch)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mvsdf_tpu.tracing import TracerConfig, trace_rays
+
+
+def torus(x):
+    R, r = 0.5, 0.2
+    q = jnp.stack([jnp.linalg.norm(x[..., :2], axis=-1) - R, x[..., 2]],
+                  axis=-1)
+    return jnp.linalg.norm(q, axis=-1) - r
+
+
+def scene(n=256, seed=0, spread=1.2):
+    rng = np.random.default_rng(seed)
+    cam = np.tile(np.array([[0.2, -1.9, 1.0]], np.float32), (n, 1))
+    targets = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    dirs = targets - cam
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return jnp.asarray(cam), jnp.asarray(dirs)
+
+
+def run(cfg, training=True):
+    org, dirs = scene()
+    om = jnp.ones((256,), bool)
+    steps = jnp.asarray(np.random.default_rng(7).uniform(size=cfg.n_steps),
+                        jnp.float32)
+    return trace_rays(cfg, torus, org, dirs, om, training=training,
+                      minimal_steps=steps)
+
+
+def _assert_equal(a, b):
+    np.testing.assert_array_equal(np.asarray(a.network_object_mask),
+                                  np.asarray(b.network_object_mask))
+    np.testing.assert_allclose(np.asarray(a.dists), np.asarray(b.dists),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.points), np.asarray(b.points),
+                               atol=1e-6)
+
+
+def test_compact_equals_dense_when_fits():
+    dense = run(TracerConfig())
+    compact = run(dataclasses.replace(TracerConfig(),
+                                      sampler_capacity_frac=0.9,
+                                      fill_capacity_frac=0.9))
+    _assert_equal(dense, compact)
+
+
+def test_dense_fallback_when_overflow():
+    # capacity floor is 128 (half the rays); the torus scene misses most
+    # rays -> fill overflows -> dense branch must engage and stay exact
+    dense = run(TracerConfig())
+    tiny = run(dataclasses.replace(TracerConfig(),
+                                   sampler_capacity_frac=0.001,
+                                   fill_capacity_frac=0.001))
+    _assert_equal(dense, tiny)
+
+
+def test_compact_eval_mode():
+    dense = run(TracerConfig(), training=False)
+    compact = run(dataclasses.replace(TracerConfig(),
+                                      sampler_capacity_frac=0.9),
+                  training=False)
+    _assert_equal(dense, compact)
