@@ -147,6 +147,9 @@ class TrainConfig:
     sched_factor: float = 0.1
     plot_freq: float = 1.0 / 12.0
     seed: int = 0
+    # optional camera-pose optimization (ref idr_train.py:121-127)
+    train_cameras: bool = False
+    learning_rate_cam: float = 1e-4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,8 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     epoch: jnp.ndarray  # scalar int32
+    pose_vecs: Any = None   # (n_images, 7) when camera opt is on
+    cam_opt: Any = None     # SparseAdamState when camera opt is on
 
 
 GT_KEYS = ("rgb", "depths", "depth_cams", "size", "center", "feat",
@@ -88,23 +90,46 @@ def make_train_step(cfg: MVSDFConfig, phase_idx: int,
     sched = cfg.schedule
     adam, lr_for_epoch = make_optimizer(cfg)
 
+    train_cameras = cfg.train.train_cameras
+
     def step(state: TrainState, batch, weights_arr, key):
         weights = weights_from_array(weights_arr)
 
-        def loss_fn(params):
-            out = render_forward(cfg.model, params, batch, training=True,
+        def loss_fn(params, pose_vecs):
+            inputs = batch
+            if train_cameras:
+                # 7-d quat+trans pose per batch image (ref idr_train:263)
+                inputs = dict(batch)
+                inputs["pose"] = pose_vecs[batch["indices"]]
+            out = render_forward(cfg.model, params, inputs, training=True,
                                  gates=gates, key=key)
             gt = {k: batch[k] for k in GT_KEYS}
             lt = total_loss(out, gt, gates, sched, weights)
             return lt.loss, (lt, out.network_object_mask)
 
-        (loss_val, (lt, hits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if train_cameras:
+            (loss_val, (lt, hits)), (grads, pose_grads) = \
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, state.pose_vecs)
+        else:
+            (loss_val, (lt, hits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, None)
+            pose_grads = None
         grads, gnorm = _clip_by_global_norm(grads, weights.grad_cap)
         updates, opt_state = adam.update(grads, state.opt_state, state.params)
         lr = lr_for_epoch(state.epoch)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
+
+        pose_vecs, cam_opt = state.pose_vecs, state.cam_opt
+        if train_cameras:
+            from .cameras_opt import sparse_adam_step
+            touched = jnp.zeros(pose_vecs.shape[0], bool).at[
+                batch["indices"]].set(True)
+            cam_opt, pose_vecs = sparse_adam_step(
+                cam_opt, pose_vecs, pose_grads, touched,
+                cfg.train.learning_rate_cam)
+
         metrics = {
             "loss": lt.loss, "rgb_loss": lt.rgb_loss,
             "eikonal_loss": lt.eikonal_loss, "depth_loss": lt.depth_loss,
@@ -112,7 +137,8 @@ def make_train_step(cfg: MVSDFConfig, phase_idx: int,
             "grad_norm": gnorm, "lr": lr,
             "hit_frac": jnp.mean(hits.astype(jnp.float32)),
         }
-        return TrainState(params, opt_state, state.epoch), metrics
+        return TrainState(params, opt_state, state.epoch, pose_vecs,
+                          cam_opt), metrics
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -136,9 +162,23 @@ def make_train_step(cfg: MVSDFConfig, phase_idx: int,
     return wrapper
 
 
-def init_train_state(cfg: MVSDFConfig, seed: int = 0) -> TrainState:
+def init_train_state(cfg: MVSDFConfig, seed: int = 0,
+                     pose_init: Optional[np.ndarray] = None) -> TrainState:
+    """pose_init (n_images, 4, 4) or (n_images, 7) seeds the optimizable
+    camera embeddings when cfg.train.train_cameras."""
     params = init_params(cfg, seed)
     adam, _ = make_optimizer(cfg)
     opt_state = adam.init(params)
+    pose_vecs = cam_opt = None
+    if cfg.train.train_cameras:
+        from .cameras_opt import (pose_vecs_from_matrices, init_sparse_adam)
+        if pose_init is None:
+            raise ValueError("train_cameras requires pose_init")
+        pv = np.asarray(pose_init, np.float32)
+        if pv.ndim == 3:
+            pv = pose_vecs_from_matrices(pv)
+        pose_vecs = jnp.asarray(pv)
+        cam_opt = init_sparse_adam(pose_vecs)
     return TrainState(params=params, opt_state=opt_state,
-                      epoch=jnp.zeros((), jnp.int32))
+                      epoch=jnp.zeros((), jnp.int32),
+                      pose_vecs=pose_vecs, cam_opt=cam_opt)
