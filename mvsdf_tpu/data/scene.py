@@ -167,6 +167,7 @@ class SceneData:
             sel = sel[ray_slice]
         B = len(indices)
         batch = {
+            "indices": np.asarray(list(indices), np.int32),
             "uv": np.stack([self.uv[sel] for _ in indices]),
             "intrinsics": self.intrinsics[list(indices)],
             "pose": self.poses[list(indices)],

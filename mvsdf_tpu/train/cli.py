@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_mesh", action="store_true",
                     help="disable multi-device sharding")
+    ap.add_argument("--train_cameras", action="store_true",
+                    help="jointly optimize per-image camera poses")
     ap.add_argument("--matmul_precision", default="tensorfloat32",
                     choices=["default", "tensorfloat32", "highest"])
     args = ap.parse_args(argv)
@@ -37,7 +39,8 @@ def main(argv=None):
 
     cfg = MVSDFConfig(train=TrainConfig(
         batch_size=args.batch_size, num_pixels=args.num_pixels,
-        nepochs=args.nepoch, seed=args.seed))
+        nepochs=args.nepoch, seed=args.seed,
+        train_cameras=args.train_cameras))
 
     exp_base = os.path.join(args.exps_folder, args.expname)
     if args.is_continue and args.timestamp == "latest" and \

@@ -41,7 +41,9 @@ class Trainer:
         self.mesh = mesh if mesh is not None else (
             make_mesh() if use_mesh and len(jax.devices()) > 1 else None)
         self.steps = {}  # phase_idx -> jitted step
-        self.state = init_train_state(cfg, seed=cfg.train.seed)
+        pose_init = scene.poses if cfg.train.train_cameras else None
+        self.state = init_train_state(cfg, seed=cfg.train.seed,
+                                      pose_init=pose_init)
         self.rng = np.random.default_rng(cfg.train.seed)
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.start_epoch = 0
