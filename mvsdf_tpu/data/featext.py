@@ -17,8 +17,6 @@ converter is exercised against a torch-built reference in the golden tests).
 """
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,6 @@ training step (``pack_sdf_weights``); the kernel sees plain matrices.
 from __future__ import annotations
 
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

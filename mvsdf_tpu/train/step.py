@@ -13,7 +13,6 @@ sharded and parameters replicated; XLA inserts the gradient all-reduce.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, NamedTuple, Optional
 

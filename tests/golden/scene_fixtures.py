@@ -29,8 +29,11 @@ def look_at_extrinsic(cam_pos, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
 
 
 def make_scene(n_images=2, n_src=2, img_hw=64, depth_hw=32, n_pix=64,
-               seed=0, feat_ch=32, sphere_radius=0.6):
-    """Returns dict of numpy arrays (float32) for both frameworks."""
+               seed=0, feat_ch=32, sphere_radius=0.6, focal=60.0,
+               two_rings=False):
+    """Returns dict of numpy arrays (float32) for both frameworks.
+    two_rings places cameras at alternating elevations (better-conditioned
+    coverage for reconstruction tests)."""
     rng = np.random.default_rng(seed)
     B = n_images
     H = W = img_hw
@@ -38,11 +41,14 @@ def make_scene(n_images=2, n_src=2, img_hw=64, depth_hw=32, n_pix=64,
 
     # cameras on a ring of radius 2.2
     angles = np.linspace(0, 2 * np.pi, B + n_src, endpoint=False)
-    cam_pos = np.stack([2.2 * np.sin(angles), 0.35 * np.ones_like(angles),
-                        2.2 * np.cos(angles)], -1)
+    ys = (np.where(np.arange(B + n_src) % 2 == 0, 0.9, -0.5)
+          if two_rings else 0.35 * np.ones(B + n_src))
+    rad = np.sqrt(np.maximum(2.2 ** 2 - ys ** 2, 0.5))
+    cam_pos = np.stack([rad * np.sin(angles), ys,
+                        rad * np.cos(angles)], -1)
     extr = np.stack([look_at_extrinsic(p) for p in cam_pos])  # (B+S, 4, 4)
 
-    f_hd = 60.0
+    f_hd = float(focal)
     K_hd = np.array([[f_hd, 0, W / 2], [0, f_hd, H / 2], [0, 0, 1.0]])
     # depth cams at depth resolution; cams_hd = 2x depth cams
     scale = h / H
