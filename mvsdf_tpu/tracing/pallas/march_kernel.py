@@ -1,0 +1,241 @@
+"""Fully-fused bidirectional sphere-trace march kernel.
+
+One ``pallas_call`` runs the *entire* march (ref ``ray_tracing.py:101-196``)
+for a block of rays: per-iteration SDF evaluations (the 9-layer MLP with all
+weights VMEM-resident), the back-stepping line search, and the convergence
+bookkeeping all stay on-chip. Versus driving the march from XLA (one kernel
+launch per evaluation), this removes ~50 launch/pipeline round-trips per
+step and — because the convergence loop is *block-local* — ray blocks that
+finish early stop marching entirely, a finer-grained early exit than the
+global ``lax.while_loop``.
+
+In-kernel positional encoding via one matmul: a constant (8, 128) matrix
+scatters frequency-scaled copies of (x, y, z) across lanes, then constant
+id/sin/cos lane masks select the transform — no lane-wise concatenation.
+
+Start- and end-march evaluations are stacked along the sublane axis into a
+single (2*Np, H) matmul chain per iteration.
+"""
+from __future__ import annotations
+
+import functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...fields.sdf import ImplicitConfig
+from .sdf_kernel import pack_sdf_weights, _round_up
+
+
+def pe_constants(cfg: ImplicitConfig, d_pe_pad: int):
+    """Constant PE operators: M (8, d_pe_pad) scatter/scale matrix plus
+    (1, d_pe_pad) lane masks (identity / sin / cos)."""
+    L = cfg.multires
+    M = np.zeros((8, d_pe_pad), np.float32)
+    m_id = np.zeros((1, d_pe_pad), np.float32)
+    m_sin = np.zeros((1, d_pe_pad), np.float32)
+    m_cos = np.zeros((1, d_pe_pad), np.float32)
+    col = 0
+    for d in range(3):  # identity block
+        M[d, col] = 1.0
+        m_id[0, col] = 1.0
+        col += 1
+    for i in range(L):
+        f = float(2 ** i)
+        for trig, mask in ((m_sin, m_sin), (m_cos, m_cos)):
+            for d in range(3):
+                M[d, col] = f
+                mask[0, col] = 1.0
+                col += 1
+    return (jnp.asarray(M), jnp.asarray(m_id), jnp.asarray(m_sin),
+            jnp.asarray(m_cos))
+
+
+def _softplus100(x):
+    return jnp.logaddexp(0.0, 100.0 * x) * 0.01
+
+
+def _mlp_body(layer_kinds, w_refs, pe):
+    """The packed-weight MLP on pe (N, d_pe_pad) -> sdf (N, 1-ish block)."""
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    h = None
+    wi = 0
+    out = None
+    for kind in layer_kinds:
+        if kind == "in":
+            W, b = w_refs[wi][:], w_refs[wi + 1][:]
+            wi += 2
+            h = _softplus100(dot(pe, W) + b)
+        elif kind == "hid":
+            W, b = w_refs[wi][:], w_refs[wi + 1][:]
+            wi += 2
+            h = _softplus100(dot(h, W) + b)
+        elif kind == "skip":
+            Wh, Wpe, b = (w_refs[wi][:], w_refs[wi + 1][:],
+                          w_refs[wi + 2][:])
+            wi += 3
+            h = _softplus100((dot(h, Wh) + dot(pe, Wpe)) * inv_sqrt2 + b)
+        else:
+            W, b = w_refs[wi][:], w_refs[wi + 1][:]
+            wi += 2
+            out = dot(h, W) + b
+    return out  # (N, 128); column 0 is the SDF
+
+
+def _make_march_kernel(layer_kinds, n_weights, iters, line_iters,
+                       line_step, thr, clip):
+    def kernel(ray_ref, meta_ref, M_ref, mid_ref, msin_ref, mcos_ref,
+               *refs):
+        w_refs = refs[:n_weights]
+        out_ref = refs[-1]
+
+        org = ray_ref[:, 0:3]       # (Np, 3)
+        dirs = ray_ref[:, 3:6]
+        t_near = meta_ref[:, 0]
+        t_far = meta_ref[:, 1]
+        mask_i = meta_ref[:, 2] > 0.5
+
+        M = M_ref[:]
+        m_id = mid_ref[:]
+        m_sin = msin_ref[:]
+        m_cos = mcos_ref[:]
+
+        org2 = jnp.concatenate([org, org], axis=0)     # (2Np, 3)
+        dirs2 = jnp.concatenate([dirs, dirs], axis=0)
+        Np = org.shape[0]
+
+        def sdf2(t2):
+            """SDF at org2 + t2*dirs2, t2 (2Np,) -> (2Np,) clamped."""
+            p = org2 + t2[:, None] * dirs2             # (2Np, 3)
+            p8 = jnp.pad(p, ((0, 0), (0, 5)))
+            z = jnp.dot(p8, M, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            pe = m_id * z + m_sin * jnp.sin(z) + m_cos * jnp.cos(z)
+            v = _mlp_body(layer_kinds, w_refs, pe)[:, 0]
+            return jnp.clip(v, -clip, clip)
+
+        def eval_masked(t2, m2):
+            return jnp.where(m2, sdf2(t2), 0.0)
+
+        unfin = jnp.concatenate([mask_i, mask_i], axis=0)  # (2Np,) s|e
+        sign2 = jnp.concatenate([jnp.ones((Np,)), -jnp.ones((Np,))], 0)
+        t2 = jnp.where(unfin, jnp.concatenate([t_near, t_far], 0), 0.0)
+        next2 = eval_masked(t2, unfin)
+
+        def line_search(t2, curr2, next2):
+            def cond(s):
+                j, _, not_proj, _ = s
+                return (j < line_iters) & jnp.any(not_proj)
+
+            def body(s):
+                j, t2, not_proj, next2 = s
+                step = ((1 - line_step) / (2.0 ** j)) * curr2
+                t2 = jnp.where(not_proj, t2 - sign2 * step, t2)
+                v = sdf2(t2)
+                next2 = jnp.where(not_proj, v, next2)
+                return j + 1, t2, next2 < 0, next2
+
+            not_proj = next2 < 0
+            _, t2, _, next2 = jax.lax.while_loop(
+                cond, body, (0, t2, not_proj, next2))
+            return t2, next2
+
+        def mask_update(unfin, next2):
+            curr2 = jnp.where(unfin, next2, 0.0)
+            curr2 = jnp.where(curr2 <= thr, 0.0, curr2)
+            return unfin & (curr2 > thr), curr2
+
+        def cond(state):
+            i, unfin, *_ = state
+            return (i < iters) & jnp.any(unfin)
+
+        def body(state):
+            i, unfin, t2, next2 = state
+            unfin, curr2 = mask_update(unfin, next2)
+            t2 = t2 + sign2 * curr2
+            next2 = eval_masked(t2, unfin)
+            t2, next2 = line_search(t2, curr2, next2)
+            ok = t2[:Np] < t2[Np:]
+            ok2 = jnp.concatenate([ok, ok], axis=0)
+            return i + 1, unfin & ok2, t2, next2
+
+        _, unfin, t2, next2 = jax.lax.while_loop(
+            cond, body, (0, unfin, t2, next2))
+        unfin, _ = mask_update(unfin, next2)
+
+        out = jnp.stack([t2[:Np], t2[Np:],
+                         unfin[:Np].astype(jnp.float32),
+                         unfin[Np:].astype(jnp.float32)], axis=1)
+        out_ref[:, 0:4] = out
+
+    return kernel
+
+
+def pallas_sphere_trace(cfg, icfg: ImplicitConfig, packed, org, dirs,
+                        mask_intersect, t_near, t_far, block: int = 512,
+                        interpret: bool = False):
+    """Drop-in replacement for tracing.sphere_trace._sphere_trace backed by
+    the fused kernel. cfg: TracerConfig. Returns (unfin_start, t_s, t_e)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = org.shape[:-1]
+    n = int(np.prod(lead))
+    org_f = org.reshape(n, 3)
+    dirs_f = dirs.reshape(n, 3)
+
+    weight_args = []
+    layer_kinds = []
+    for entry in packed["layers"]:
+        layer_kinds.append(entry[0])
+        weight_args.extend(entry[1:])
+
+    d_pe_pad = packed["d_pe_pad"]
+    M, m_id, m_sin, m_cos = pe_constants(icfg, d_pe_pad)
+
+    kernel = _make_march_kernel(
+        layer_kinds, len(weight_args), cfg.sphere_tracing_iters,
+        cfg.line_step_iters, cfg.line_search_step, cfg.sdf_threshold,
+        cfg.dist_clip)
+
+    n_pad = _round_up(max(n, block), block)
+
+    ray = jnp.zeros((n_pad, 8), jnp.float32)
+    ray = ray.at[:n, 0:3].set(org_f).at[:n, 3:6].set(dirs_f)
+    meta = jnp.zeros((n_pad, 4), jnp.float32)
+    meta = meta.at[:n, 0].set(t_near.reshape(n))
+    meta = meta.at[:n, 1].set(t_far.reshape(n))
+    meta = meta.at[:n, 2].set(mask_intersect.reshape(n).astype(jnp.float32))
+
+    grid = (n_pad // block,)
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((block, 8), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, 4), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(M.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(m_id.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(m_sin.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(m_cos.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in weight_args:
+        in_specs.append(pl.BlockSpec(
+            w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
+            memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        interpret=interpret,
+    )(ray, meta, M, m_id, m_sin, m_cos, *weight_args)
+
+    t_s = out[:n, 0].reshape(lead)
+    t_e = out[:n, 1].reshape(lead)
+    unfin_s = (out[:n, 2] > 0.5).reshape(lead)
+    return unfin_s, t_s, t_e

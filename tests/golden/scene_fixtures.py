@@ -7,6 +7,58 @@ framework need for a full forward+backward."""
 import numpy as np
 
 
+def make_scene_fibonacci(n=10, img_hw=48, depth_hw=24, n_pix=192,
+                         feat_ch=16, sphere_radius=0.45, focal=84.0,
+                         seed=21):
+    """Well-conditioned reconstruction fixture: n cameras on a fibonacci
+    sphere (full angular coverage) with depth maps of an analytic sphere.
+    Ring-only coverage leaves occluded bands whose carving votes are all
+    'inside' (true for the reference too); this layout avoids that."""
+    golden = (1 + 5 ** 0.5) / 2
+    idx = np.arange(n)
+    z = 1 - 2 * (idx + 0.5) / n
+    th = 2 * np.pi * idx / golden
+    r = np.sqrt(1 - z * z)
+    cam_pos = 2.2 * np.stack([r * np.cos(th), z * 0.8, r * np.sin(th)], -1)
+
+    sc = make_scene(n_images=n, n_src=2, img_hw=img_hw, depth_hw=depth_hw,
+                    n_pix=n_pix, seed=seed, feat_ch=feat_ch,
+                    sphere_radius=sphere_radius, focal=focal)
+    f = focal
+    extr = np.stack([look_at_extrinsic(p) for p in cam_pos])
+    K = np.array([[f, 0, img_hw / 2], [0, f, img_hw / 2], [0, 0, 1.0]])
+    Kd = K.copy()
+    Kd[:2] *= depth_hw / img_hw
+    sc["pose"] = np.stack([np.linalg.inv(e) for e in extr]).astype(
+        np.float32)
+    intr = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    intr[:, :3, :3] = K
+    sc["intrinsics"] = intr.astype(np.float32)
+    dc = np.zeros((n, 1, 2, 4, 4), np.float32)
+    for i in range(n):
+        dc[i, 0, 0] = extr[i]
+        dc[i, 0, 1, :3, :3] = Kd
+    sc["depth_cams"] = dc
+    h = w = depth_hw
+    depths = np.zeros((n, 1, 1, h, w), np.float32)
+    for i in range(n):
+        ys, xs = np.mgrid[0:h, 0:w]
+        pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)],
+                       -1).reshape(-1, 3).astype(np.float64)
+        dcam = (np.linalg.inv(Kd) @ pix.T).T
+        R = extr[i][:3, :3]
+        dw = dcam @ R
+        dw /= np.linalg.norm(dw, axis=-1, keepdims=True)
+        o = cam_pos[i]
+        b = dw @ o
+        disc = b ** 2 - (o @ o - sphere_radius ** 2)
+        tq = -b - np.sqrt(np.maximum(disc, 0))
+        zz = tq * dcam[:, 2] / np.linalg.norm(dcam, axis=-1)
+        depths[i, 0, 0] = np.where(disc > 0, zz, 0).reshape(h, w)
+    sc["depths"] = depths
+    return sc
+
+
 def _conv2(img, k):
     """Small same-size 2D convolution (separable box) for smoothing."""
     from scipy.signal import convolve2d
