@@ -60,9 +60,10 @@ def main():
     import dataclasses
     if os.environ.get("MVSDF_BENCH_PALLAS", "1") == "1":
         # fused VMEM-resident SDF kernel for the no-grad trace phase
+        march = os.environ.get("MVSDF_BENCH_MARCH", "0") == "1"
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, use_pallas_trace=True))
-        _progress("pallas trace kernel: on")
+            cfg.model, use_pallas_trace=True, use_pallas_march=march))
+        _progress(f"pallas trace kernel: on (fused march: {march})")
     if os.environ.get("MVSDF_BENCH_COMPACT", "1") == "1":
         # fallback-stage compaction (exact; dense branch on overflow)
         tr = dataclasses.replace(cfg.model.tracer,

@@ -132,7 +132,10 @@ class ModelConfig:
     # resident in VMEM, no per-layer HBM round trips. TPU only
     # (pallas_interpret=True runs the kernel interpreted for CPU testing).
     use_pallas_trace: bool = False
+    # Fuse the whole march loop into one kernel (requires use_pallas_trace).
+    use_pallas_march: bool = False
     pallas_block: int = 1024
+    pallas_march_block: int = 512
     pallas_interpret: bool = False
 
 

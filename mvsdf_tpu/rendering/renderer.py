@@ -135,12 +135,19 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
 
     # --- non-differentiable trace on frozen params (ref :192-198) ---------
     params_sg = jax.lax.stop_gradient(params)
+    march_fn = None
     if cfg.use_pallas_trace:
         from ..tracing.pallas import pack_sdf_weights, pallas_sdf_apply
         packed = pack_sdf_weights(icfg, params_sg["implicit"])
         sdf_frozen = lambda x: pallas_sdf_apply(
             icfg, packed, x, block=cfg.pallas_block,
             interpret=cfg.pallas_interpret)
+        if cfg.use_pallas_march:
+            from ..tracing.pallas.march_kernel import pallas_sphere_trace
+            march_fn = lambda o, d, mi, tn, tf: pallas_sphere_trace(
+                tcfg, icfg, packed, o, d, mi, tn, tf,
+                block=cfg.pallas_march_block,
+                interpret=cfg.pallas_interpret)
     else:
         sdf_frozen = lambda x: sdf_apply(icfg, params_sg["implicit"], x)
     if noise and "minimal_steps" in noise:
@@ -155,7 +162,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             min_steps = None
     tr = trace_rays(tcfg, sdf_frozen, jax.lax.stop_gradient(org),
                     jax.lax.stop_gradient(ray_dirs), object_mask,
-                    training=training, minimal_steps=min_steps)
+                    training=training, minimal_steps=min_steps,
+                    march_fn=march_fn)
     dists = jax.lax.stop_gradient(tr.dists)
     net_obj_mask = tr.network_object_mask
 

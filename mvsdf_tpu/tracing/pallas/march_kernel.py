@@ -91,37 +91,43 @@ def _make_march_kernel(layer_kinds, n_weights, iters, line_iters,
         w_refs = refs[:n_weights]
         out_ref = refs[-1]
 
+        # All per-ray state is 2-D (Np, 2): column 0 = start march, column
+        # 1 = end march (Mosaic has no 1-D vector concat; lane-dim ops on
+        # a 2-wide tile are cheap).
         org = ray_ref[:, 0:3]       # (Np, 3)
         dirs = ray_ref[:, 3:6]
-        t_near = meta_ref[:, 0]
-        t_far = meta_ref[:, 1]
-        mask_i = meta_ref[:, 2] > 0.5
+        mask2 = jnp.concatenate([meta_ref[:, 2:3], meta_ref[:, 2:3]],
+                                axis=1) > 0.5              # (Np, 2)
 
         M = M_ref[:]
         m_id = mid_ref[:]
         m_sin = msin_ref[:]
         m_cos = mcos_ref[:]
 
-        org2 = jnp.concatenate([org, org], axis=0)     # (2Np, 3)
-        dirs2 = jnp.concatenate([dirs, dirs], axis=0)
         Np = org.shape[0]
+        sign2 = jnp.concatenate(
+            [jnp.ones((1, 1), jnp.float32),
+             -jnp.ones((1, 1), jnp.float32)], axis=1)      # (1, 2)
 
         def sdf2(t2):
-            """SDF at org2 + t2*dirs2, t2 (2Np,) -> (2Np,) clamped."""
-            p = org2 + t2[:, None] * dirs2             # (2Np, 3)
+            """SDF at start/end points, t2 (Np, 2) -> (Np, 2) clamped."""
+            p_s = org + t2[:, 0:1] * dirs                  # (Np, 3)
+            p_e = org + t2[:, 1:2] * dirs
+            p = jnp.concatenate([p_s, p_e], axis=0)        # (2Np, 3)
             p8 = jnp.pad(p, ((0, 0), (0, 5)))
             z = jnp.dot(p8, M, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.DEFAULT)
             pe = m_id * z + m_sin * jnp.sin(z) + m_cos * jnp.cos(z)
-            v = _mlp_body(layer_kinds, w_refs, pe)[:, 0]
-            return jnp.clip(v, -clip, clip)
+            v = _mlp_body(layer_kinds, w_refs, pe)[:, 0:1]  # (2Np, 1)
+            v2 = jnp.concatenate([v[:Np], v[Np:]], axis=1)  # (Np, 2)
+            return jnp.clip(v2, -clip, clip)
 
         def eval_masked(t2, m2):
             return jnp.where(m2, sdf2(t2), 0.0)
 
-        unfin = jnp.concatenate([mask_i, mask_i], axis=0)  # (2Np,) s|e
-        sign2 = jnp.concatenate([jnp.ones((Np,)), -jnp.ones((Np,))], 0)
-        t2 = jnp.where(unfin, jnp.concatenate([t_near, t_far], 0), 0.0)
+        unfin = mask2
+        t2 = jnp.where(unfin, jnp.concatenate(
+            [meta_ref[:, 0:1], meta_ref[:, 1:2]], axis=1), 0.0)
         next2 = eval_masked(t2, unfin)
 
         def line_search(t2, curr2, next2):
@@ -157,18 +163,15 @@ def _make_march_kernel(layer_kinds, n_weights, iters, line_iters,
             t2 = t2 + sign2 * curr2
             next2 = eval_masked(t2, unfin)
             t2, next2 = line_search(t2, curr2, next2)
-            ok = t2[:Np] < t2[Np:]
-            ok2 = jnp.concatenate([ok, ok], axis=0)
-            return i + 1, unfin & ok2, t2, next2
+            ok = t2[:, 0:1] < t2[:, 1:2]                  # (Np, 1)
+            return i + 1, unfin & ok, t2, next2
 
         _, unfin, t2, next2 = jax.lax.while_loop(
             cond, body, (0, unfin, t2, next2))
         unfin, _ = mask_update(unfin, next2)
 
-        out = jnp.stack([t2[:Np], t2[Np:],
-                         unfin[:Np].astype(jnp.float32),
-                         unfin[Np:].astype(jnp.float32)], axis=1)
-        out_ref[:, 0:4] = out
+        out_ref[:, 0:2] = t2
+        out_ref[:, 2:4] = unfin.astype(jnp.float32)
 
     return kernel
 

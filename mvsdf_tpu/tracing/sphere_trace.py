@@ -276,13 +276,16 @@ def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
 
 def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
                training: bool, key: Optional[jax.Array] = None,
-               minimal_steps: Optional[jnp.ndarray] = None) -> TraceResult:
+               minimal_steps: Optional[jnp.ndarray] = None,
+               march_fn=None) -> TraceResult:
     """Full tracing pipeline (ref RayTracing.forward, ray_tracing.py:27-98).
 
     org (L..., 3) per-ray origins; dirs (L..., 3) unit directions;
     object_mask (L...) bool. L is typically (B, P) with P the sharded axis.
     ``minimal_steps`` overrides the random stratified steps of the miss
     filler (for determinism/golden tests); otherwise drawn from ``key``.
+    ``march_fn(org, dirs, mask_intersect, t_near, t_far) -> (unfin_s, t_s,
+    t_e)`` overrides the sphere-trace march (e.g. the fused Pallas kernel).
     """
     # Per-ray sphere intersection (ref rend_util.py:141-162, flat-ray form).
     r_sph = cfg.object_bounding_sphere
@@ -293,8 +296,12 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     t_near = jnp.clip(jnp.where(mask_intersect, -d_dot_o - sq, 0.0), 0.0)
     t_far = jnp.clip(jnp.where(mask_intersect, -d_dot_o + sq, 0.0), 0.0)
 
-    unfin_s, t_s, t_e = _sphere_trace(
-        cfg, sdf_fn, org, dirs, mask_intersect, t_near, t_far)
+    if march_fn is None:
+        unfin_s, t_s, t_e = _sphere_trace(
+            cfg, sdf_fn, org, dirs, mask_intersect, t_near, t_far)
+    else:
+        unfin_s, t_s, t_e = march_fn(org, dirs, mask_intersect, t_near,
+                                     t_far)
     min_dis = jnp.where(mask_intersect, t_near, 0.0)
     max_dis = jnp.where(mask_intersect, t_far, 0.0)
 

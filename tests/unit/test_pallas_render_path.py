@@ -42,9 +42,14 @@ def test_pallas_trace_path_matches_jnp_path():
     out_a = render_forward(base, params, inputs, training=True, noise=noise)
     out_b = render_forward(cfg_pallas, params, inputs, training=True,
                            noise=noise)
-    np.testing.assert_array_equal(np.asarray(out_a.network_object_mask),
-                                  np.asarray(out_b.network_object_mask))
-    np.testing.assert_allclose(np.asarray(out_a.dists),
-                               np.asarray(out_b.dists), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out_a.rgb_values),
-                               np.asarray(out_b.rgb_values), atol=1e-4)
+    cfg_march = dataclasses.replace(cfg_pallas, use_pallas_march=True,
+                                    pallas_march_block=128)
+    out_c = render_forward(cfg_march, params, inputs, training=True,
+                           noise=noise)
+    for out_x in (out_b, out_c):
+        np.testing.assert_array_equal(np.asarray(out_a.network_object_mask),
+                                      np.asarray(out_x.network_object_mask))
+        np.testing.assert_allclose(np.asarray(out_a.dists),
+                                   np.asarray(out_x.dists), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_a.rgb_values),
+                                   np.asarray(out_x.rgb_values), atol=1e-4)
