@@ -96,74 +96,73 @@ def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
     thr = cfg.sdf_threshold
     clip = cfg.dist_clip
 
-    def eval_masked(t, m):
-        p = org + t[..., None] * dirs
+    # Start- and end-march states stacked on a new leading axis 0 so every
+    # SDF evaluation (the expensive part) is a single doubled-batch call —
+    # half the kernel launches, twice the matmul rows. Axis 0 is
+    # replicated, so ray-axis sharding is unaffected.
+    org2 = jnp.stack([org, org])          # (2, L..., 3)
+    dirs2 = jnp.stack([dirs, dirs])
+    sign2 = jnp.concatenate(
+        [jnp.ones((1,) + (1,) * mask_intersect.ndim),
+         -jnp.ones((1,) + (1,) * mask_intersect.ndim)])  # (2, 1...)
+
+    def eval_masked(t2, m2):
+        p = org2 + t2[..., None] * dirs2
         v = jnp.clip(sdf_fn(p), -clip, clip)
-        return jnp.where(m, v, 0.0)
+        return jnp.where(m2, v, 0.0)
 
-    unfin_s = mask_intersect
-    unfin_e = mask_intersect
-    t_s = jnp.where(mask_intersect, t_near, 0.0)
-    t_e = jnp.where(mask_intersect, t_far, 0.0)
-    next_s = eval_masked(t_s, unfin_s)
-    next_e = eval_masked(t_e, unfin_e)
+    unfin2 = jnp.stack([mask_intersect, mask_intersect])
+    t2 = jnp.where(unfin2, jnp.stack([t_near, t_far]), 0.0)
+    next2 = eval_masked(t2, unfin2)
 
-    def line_search(t, curr, next_v, sign):
-        """Back-stepping line search halving the overshoot (ref :173-191).
-        sign=+1 for the start march (t decreases), -1 for the end march."""
+    def line_search(t2, curr2, next2):
+        """Back-stepping line search halving the overshoot (ref :173-191);
+        the start march steps t down, the end march steps t up."""
         def cond(state):
             j, _, not_proj, _ = state
             return (j < cfg.line_step_iters) & jnp.any(not_proj)
 
         def body(state):
-            j, t, not_proj, next_v = state
-            step = ((1 - cfg.line_search_step) / (2.0 ** j)) * curr
-            t = jnp.where(not_proj, t - sign * step, t)
-            p = org + t[..., None] * dirs
+            j, t2, not_proj, next2 = state
+            step = ((1 - cfg.line_search_step) / (2.0 ** j)) * curr2
+            t2 = jnp.where(not_proj, t2 - sign2 * step, t2)
+            p = org2 + t2[..., None] * dirs2
             v = jnp.clip(sdf_fn(p), -clip, clip)
-            next_v = jnp.where(not_proj, v, next_v)
-            return j + 1, t, next_v < 0, next_v
+            next2 = jnp.where(not_proj, v, next2)
+            return j + 1, t2, next2 < 0, next2
 
-        not_proj = next_v < 0
-        _, t, _, next_v = jax.lax.while_loop(
-            cond, body, (0, t, not_proj, next_v))
-        return t, next_v
+        not_proj = next2 < 0
+        _, t2, _, next2 = jax.lax.while_loop(
+            cond, body, (0, t2, not_proj, next2))
+        return t2, next2
 
-    def mask_update(unfin_s, unfin_e, next_s, next_e):
+    def mask_update(unfin2, next2):
         """Reference loop-top bookkeeping (ray_tracing.py:140-151)."""
-        curr_s = jnp.where(unfin_s, next_s, 0.0)
-        curr_s = jnp.where(curr_s <= thr, 0.0, curr_s)
-        curr_e = jnp.where(unfin_e, next_e, 0.0)
-        curr_e = jnp.where(curr_e <= thr, 0.0, curr_e)
-        return unfin_s & (curr_s > thr), unfin_e & (curr_e > thr), \
-            curr_s, curr_e
+        curr2 = jnp.where(unfin2, next2, 0.0)
+        curr2 = jnp.where(curr2 <= thr, 0.0, curr2)
+        return unfin2 & (curr2 > thr), curr2
 
     def cond(state):
-        i, unfin_s, unfin_e, *_ = state
-        return (i < cfg.sphere_tracing_iters) & (
-            jnp.any(unfin_s) | jnp.any(unfin_e))
+        i, unfin2, *_ = state
+        return (i < cfg.sphere_tracing_iters) & jnp.any(unfin2)
 
     def body(state):
-        i, unfin_s, unfin_e, t_s, t_e, next_s, next_e = state
-        unfin_s, unfin_e, curr_s, curr_e = mask_update(
-            unfin_s, unfin_e, next_s, next_e)
+        i, unfin2, t2, next2 = state
+        unfin2, curr2 = mask_update(unfin2, next2)
         # March (no-op on lanes that just converged: curr == 0 there, and
         # evals/line-search are masked to their frozen values).
-        t_s = t_s + curr_s
-        t_e = t_e - curr_e
-        next_s = eval_masked(t_s, unfin_s)
-        next_e = eval_masked(t_e, unfin_e)
-        t_s, next_s = line_search(t_s, curr_s, next_s, +1.0)
-        t_e, next_e = line_search(t_e, curr_e, next_e, -1.0)
-        ok = t_s < t_e
-        return i + 1, unfin_s & ok, unfin_e & ok, t_s, t_e, next_s, next_e
+        t2 = t2 + sign2 * curr2
+        next2 = eval_masked(t2, unfin2)
+        t2, next2 = line_search(t2, curr2, next2)
+        ok = t2[0] < t2[1]
+        return i + 1, unfin2 & ok[None], t2, next2
 
-    _, unfin_s, unfin_e, t_s, t_e, next_s, next_e = jax.lax.while_loop(
-        cond, body, (0, unfin_s, unfin_e, t_s, t_e, next_s, next_e))
+    _, unfin2, t2, next2 = jax.lax.while_loop(
+        cond, body, (0, unfin2, t2, next2))
     # Final bookkeeping-only pass (the reference breaks *after* the mask
     # update at iters == sphere_tracing_iters; ray_tracing.py:153-155).
-    unfin_s, unfin_e, _, _ = mask_update(unfin_s, unfin_e, next_s, next_e)
-    return unfin_s, t_s, t_e
+    unfin2, _ = mask_update(unfin2, next2)
+    return unfin2[0], t2[0], t2[1]
 
 
 def _ray_sampler(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
