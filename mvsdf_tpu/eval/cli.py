@@ -32,6 +32,8 @@ def main(argv=None):
                          "without images (the reference's IDR_ONLY_CAM=1)")
     ap.add_argument("--only_cam_size", default="",
                     help="HxW output resolution for --only_cam")
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused TPU kernel for grid SDF evaluation")
     args = ap.parse_args(argv)
 
     import jax
@@ -78,8 +80,13 @@ def main(argv=None):
     # --- mesh extraction (ref eval.py:109-125) ---------------------------
     icfg = cfg.model.implicit
 
-    def sdf(x):
-        return sdf_apply(icfg, params["implicit"], x)
+    if args.pallas:
+        from ..tracing.pallas import pack_sdf_weights, make_pallas_sdf_fn
+        packed = pack_sdf_weights(icfg, params["implicit"])
+        sdf = make_pallas_sdf_fn(icfg, packed)
+    else:
+        def sdf(x):
+            return sdf_apply(icfg, params["implicit"], x)
 
     if not args.render_mode:
         verts, faces = extract_mesh(sdf, resolution=args.resolution,

@@ -86,18 +86,29 @@ def _mlp_body(layer_kinds, w_refs, pe):
 
 def _make_march_kernel(layer_kinds, n_weights, iters, line_iters,
                        line_step, thr, clip):
+    """March as STATICALLY UNROLLED iterations with pl.when gating and
+    VMEM-scratch state (this environment's Mosaic cannot legalize in-kernel
+    lax.while_loop, but predicated regions + scratch writes work). Gating
+    semantics mirror tracing.sphere_trace._sphere_trace exactly:
+      - per iteration: one mask update (when any lane unfinished), then the
+        march evaluation (when still any unfinished POST-update — the
+        reference breaks between the two), then line_iters line steps
+        (when any overshoot among unfinished lanes);
+      - one final bookkeeping-only mask update after the loop.
+    Early exit is per ray block: converged blocks skip every remaining
+    region's MLP work."""
+    from jax.experimental import pallas as pl
+
     def kernel(ray_ref, meta_ref, M_ref, mid_ref, msin_ref, mcos_ref,
                *refs):
         w_refs = refs[:n_weights]
-        out_ref = refs[-1]
+        out_ref = refs[n_weights]
+        t2_ref, unfin_ref, next2_ref, curr2_ref = refs[n_weights + 1:]
 
         # All per-ray state is 2-D (Np, 2): column 0 = start march, column
-        # 1 = end march (Mosaic has no 1-D vector concat; lane-dim ops on
-        # a 2-wide tile are cheap).
+        # 1 = end march; booleans are carried as 0/1 floats in scratch.
         org = ray_ref[:, 0:3]       # (Np, 3)
         dirs = ray_ref[:, 3:6]
-        mask2 = jnp.concatenate([meta_ref[:, 2:3], meta_ref[:, 2:3]],
-                                axis=1) > 0.5              # (Np, 2)
 
         M = M_ref[:]
         m_id = mid_ref[:]
@@ -122,56 +133,72 @@ def _make_march_kernel(layer_kinds, n_weights, iters, line_iters,
             v2 = jnp.concatenate([v[:Np], v[Np:]], axis=1)  # (Np, 2)
             return jnp.clip(v2, -clip, clip)
 
-        def eval_masked(t2, m2):
-            return jnp.where(m2, sdf2(t2), 0.0)
-
-        unfin = mask2
-        t2 = jnp.where(unfin, jnp.concatenate(
+        # --- init -------------------------------------------------------
+        mask2 = jnp.concatenate([meta_ref[:, 2:3], meta_ref[:, 2:3]],
+                                axis=1) > 0.5              # (Np, 2)
+        unfin_ref[:] = mask2.astype(jnp.float32)
+        t2_ref[:] = jnp.where(mask2, jnp.concatenate(
             [meta_ref[:, 0:1], meta_ref[:, 1:2]], axis=1), 0.0)
-        next2 = eval_masked(t2, unfin)
+        next2_ref[:] = jnp.where(mask2, sdf2(t2_ref[:]), 0.0)
+        curr2_ref[:] = jnp.zeros_like(t2_ref)
 
-        def line_search(t2, curr2, next2):
-            def cond(s):
-                j, _, not_proj, _ = s
-                return (j < line_iters) & jnp.any(not_proj)
+        def any_unfin():
+            return jnp.sum(unfin_ref[:]) > 0.0
 
-            def body(s):
-                j, t2, not_proj, next2 = s
-                step = ((1 - line_step) / (2.0 ** j)) * curr2
-                t2 = jnp.where(not_proj, t2 - sign2 * step, t2)
-                v = sdf2(t2)
-                next2 = jnp.where(not_proj, v, next2)
-                return j + 1, t2, next2 < 0, next2
-
-            not_proj = next2 < 0
-            _, t2, _, next2 = jax.lax.while_loop(
-                cond, body, (0, t2, not_proj, next2))
-            return t2, next2
-
-        def mask_update(unfin, next2):
-            curr2 = jnp.where(unfin, next2, 0.0)
+        def mask_update():
+            unfin = unfin_ref[:] > 0.5
+            curr2 = jnp.where(unfin, next2_ref[:], 0.0)
             curr2 = jnp.where(curr2 <= thr, 0.0, curr2)
-            return unfin & (curr2 > thr), curr2
+            unfin_ref[:] = (unfin & (curr2 > thr)).astype(jnp.float32)
+            curr2_ref[:] = curr2
 
-        def cond(state):
-            i, unfin, *_ = state
-            return (i < iters) & jnp.any(unfin)
+        # fori loops (static trip counts) keep the kernel to THREE MLP
+        # instantiations (init / march / line) — the fully unrolled form
+        # exceeded this Mosaic's compile budget. pl.when still skips the
+        # MLP work for converged blocks / projected lanes.
+        def line_body(j, _):
+            @pl.when(any_unfin() & jnp.any(next2_ref[:] < 0))
+            def _():
+                not_proj = next2_ref[:] < 0
+                step = ((1 - line_step) *
+                        jnp.exp2(-j.astype(jnp.float32))) * curr2_ref[:]
+                t2 = jnp.where(not_proj, t2_ref[:] - sign2 * step,
+                               t2_ref[:])
+                t2_ref[:] = t2
+                next2_ref[:] = jnp.where(not_proj, sdf2(t2), next2_ref[:])
+            return 0
 
-        def body(state):
-            i, unfin, t2, next2 = state
-            unfin, curr2 = mask_update(unfin, next2)
-            t2 = t2 + sign2 * curr2
-            next2 = eval_masked(t2, unfin)
-            t2, next2 = line_search(t2, curr2, next2)
-            ok = t2[:, 0:1] < t2[:, 1:2]                  # (Np, 1)
-            return i + 1, unfin & ok, t2, next2
+        def iter_body(_i, __):
+            @pl.when(any_unfin())
+            def _():
+                mask_update()
 
-        _, unfin, t2, next2 = jax.lax.while_loop(
-            cond, body, (0, unfin, t2, next2))
-        unfin, _ = mask_update(unfin, next2)
+            # march only while still unfinished POST-update (the reference
+            # breaks between the bookkeeping and the step)
+            @pl.when(any_unfin())
+            def _():
+                unfin = unfin_ref[:] > 0.5
+                t2 = t2_ref[:] + sign2 * curr2_ref[:]
+                t2_ref[:] = t2
+                next2_ref[:] = jnp.where(unfin, sdf2(t2), 0.0)
 
-        out_ref[:, 0:2] = t2
-        out_ref[:, 2:4] = unfin.astype(jnp.float32)
+            jax.lax.fori_loop(0, line_iters, line_body, 0)
+
+            @pl.when(any_unfin())
+            def _():
+                ok = t2_ref[:, 0:1] < t2_ref[:, 1:2]       # (Np, 1)
+                unfin_ref[:] = jnp.where(ok, unfin_ref[:], 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, iters, iter_body, 0)
+
+        # final bookkeeping-only pass
+        @pl.when(any_unfin())
+        def _():
+            mask_update()
+
+        out_ref[:, 0:2] = t2_ref[:]
+        out_ref[:, 2:4] = unfin_ref[:]
 
     return kernel
 
@@ -235,6 +262,8 @@ def pallas_sphere_trace(cfg, icfg: ImplicitConfig, packed, org, dirs,
         out_specs=pl.BlockSpec((block, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block, 2), jnp.float32)
+                        for _ in range(4)],
         interpret=interpret,
     )(ray, meta, M, m_id, m_sin, m_cos, *weight_args)
 
