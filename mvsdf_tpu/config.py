@@ -128,6 +128,10 @@ class ModelConfig:
     tracer: TracerConfig = TracerConfig()
     use_mask: bool = False           # conf.py:17
     disable_rgb_grad: bool = False   # conf.py:14
+    # Robustness guard (0 = reference-exact): clamp |grad . dir| away from
+    # zero in the implicit-function differentiation so grazing-incidence
+    # rays cannot produce unbounded surface-point gradients.
+    implicit_diff_min_dot: float = 0.0
     # Fused Pallas SDF evaluation for the (no-grad) trace phase: MLP weights
     # resident in VMEM, no per-layer HBM round trips. TPU only
     # (pallas_interpret=True runs the kernel interpreted for CPU testing).
@@ -153,6 +157,11 @@ class TrainConfig:
     # optional camera-pose optimization (ref idr_train.py:121-127)
     train_cameras: bool = False
     learning_rate_cam: float = 1e-4
+    # Skip optimizer updates on non-finite gradients (the reference author
+    # prototyped exactly this guard, idr_train.py:296-300, commented out).
+    # Phase A runs unclipped in the reference schedule, so a single bad
+    # batch can otherwise poison the run. Off = reference-exact.
+    skip_nonfinite_updates: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

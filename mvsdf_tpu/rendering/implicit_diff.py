@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 
 def differentiable_surface_points(sdf_vals, sdf_vals_detached, grads_detached,
-                                  dists, cam_loc, ray_dirs, valid_mask=None):
+                                  dists, cam_loc, ray_dirs, valid_mask=None,
+                                  min_dot: float = 0.0):
     """All inputs per-ray with any leading shape, (L...,) / (L..., 3).
 
     sdf_vals: SDF at the traced points, *with* live parameter gradients.
@@ -26,9 +27,14 @@ def differentiable_surface_points(sdf_vals, sdf_vals_detached, grads_detached,
     points. dists/cam_loc/ray_dirs come from the non-differentiable trace.
     valid_mask guards the division on lanes that did not hit a surface
     (the reference indexes hits only; we keep every lane and mask).
+    min_dot > 0 clamps |grad . dir| away from zero (grazing rays otherwise
+    get unbounded gradients; 0 = reference-exact).
     """
     dirs0 = jax.lax.stop_gradient(ray_dirs)
     dot = jnp.sum(grads_detached * dirs0, axis=-1)
+    if min_dot > 0.0:
+        dot = jnp.where(jnp.abs(dot) < min_dot,
+                        jnp.where(dot < 0, -min_dot, min_dot), dot)
     if valid_mask is not None:
         dot = jnp.where(valid_mask, dot, 1.0)
     dists_theta = dists - (sdf_vals - sdf_vals_detached) / dot

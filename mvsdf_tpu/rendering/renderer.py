@@ -223,7 +223,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
         g_rt_detached = jax.lax.stop_gradient(groups["rt_surf"]["grad"])
         diff_surf_pts = differentiable_surface_points(
             sdf_output, jax.lax.stop_gradient(sdf_output), g_rt_detached,
-            dists, org, ray_dirs, valid_mask=surface_mask)
+            dists, org, ray_dirs, valid_mask=surface_mask,
+            min_dot=cfg.implicit_diff_min_dot)
     else:
         surface_mask = net_obj_mask
         diff_surf_pts = points

@@ -115,6 +115,12 @@ def make_train_step(cfg: MVSDFConfig, phase_idx: int,
                 loss_fn, has_aux=True)(state.params, None)
             pose_grads = None
         grads, gnorm = _clip_by_global_norm(grads, weights.grad_cap)
+        if cfg.train.skip_nonfinite_updates:
+            # zero the whole update on a non-finite batch (the reference
+            # author's commented-out guard, idr_train.py:296-300)
+            finite = jnp.isfinite(gnorm)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, 0.0), grads)
         updates, opt_state = adam.update(grads, state.opt_state, state.params)
         lr = lr_for_epoch(state.epoch)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
