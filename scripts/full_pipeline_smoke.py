@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--resolution", type=int, default=192)
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--resolution", type=int, default=128)
     ap.add_argument("--out", default="/tmp/mvsdf_smoke")
     ap.add_argument("--no_pallas", action="store_true")
     args = ap.parse_args()
