@@ -132,6 +132,11 @@ class ModelConfig:
     # zero in the implicit-function differentiation so grazing-incidence
     # rays cannot produce unbounded surface-point gradients.
     implicit_diff_min_dot: float = 0.0
+    # Run the (no-grad) trace under shard_map on the data mesh: per-device
+    # convergence loops and per-device fallback compaction (no global
+    # argsort), and the Pallas kernels run per device — the multi-chip-
+    # legal form of every trace optimization. Results are exact either way.
+    shard_map_trace: bool = False
     # Fused Pallas SDF evaluation for the (no-grad) trace phase: MLP weights
     # resident in VMEM, no per-layer HBM round trips. TPU only
     # (pallas_interpret=True runs the kernel interpreted for CPU testing).

@@ -111,30 +111,10 @@ def _dsurf_samples(cfg: ModelConfig, inputs, n_dsurf, key, noise):
     return on_pts, on_ok, ji_pts, ji_ok
 
 
-def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
-                   gates: Gates = Gates(), key: Optional[jax.Array] = None,
-                   noise: Optional[dict] = None) -> RenderOut:
-    """One renderer forward pass over a batch of pixel rays.
-
-    params: {"implicit": [...], "render": [...]} weight pytrees.
-    inputs: uv (B,P,2), intrinsics (B,4,4), pose (B,4,4)|(B,7),
-            object_mask (B,P); + depths/depth_cams/center/size when
-            dsurf sampling is gated on.
-    """
-    icfg, rcfg, tcfg = cfg.implicit, cfg.render, cfg.tracer
-    uv = inputs["uv"]
-    B, P, _ = uv.shape
-
-    object_mask_true = inputs["object_mask"].reshape(B, P)
-    object_mask = object_mask_true if cfg.use_mask else jnp.ones(
-        (B, P), bool)
-
-    ray_dirs, cam_loc = get_camera_params(uv, inputs["pose"],
-                                          inputs["intrinsics"])
-    org = jnp.broadcast_to(cam_loc[:, None, :], (B, P, 3))
-
-    # --- non-differentiable trace on frozen params (ref :192-198) ---------
-    params_sg = jax.lax.stop_gradient(params)
+def _frozen_trace(cfg: ModelConfig, params_sg, org, dirs, object_mask,
+                  training, min_steps):
+    """The no-grad trace on frozen params, optionally via Pallas kernels."""
+    icfg, tcfg = cfg.implicit, cfg.tracer
     march_fn = None
     if cfg.use_pallas_trace:
         from ..tracing.pallas import pack_sdf_weights, pallas_sdf_apply
@@ -150,6 +130,38 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
                 interpret=cfg.pallas_interpret)
     else:
         sdf_frozen = lambda x: sdf_apply(icfg, params_sg["implicit"], x)
+    return trace_rays(tcfg, sdf_frozen, org, dirs, object_mask,
+                      training=training, minimal_steps=min_steps,
+                      march_fn=march_fn)
+
+
+def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
+                   gates: Gates = Gates(), key: Optional[jax.Array] = None,
+                   noise: Optional[dict] = None,
+                   mesh: Optional[jax.sharding.Mesh] = None) -> RenderOut:
+    """One renderer forward pass over a batch of pixel rays.
+
+    params: {"implicit": [...], "render": [...]} weight pytrees.
+    inputs: uv (B,P,2), intrinsics (B,4,4), pose (B,4,4)|(B,7),
+            object_mask (B,P); + depths/depth_cams/center/size when
+            dsurf sampling is gated on.
+    mesh + cfg.shard_map_trace runs the trace under shard_map (per-device
+    loops/compaction/kernels; exact).
+    """
+    icfg, rcfg, tcfg = cfg.implicit, cfg.render, cfg.tracer
+    uv = inputs["uv"]
+    B, P, _ = uv.shape
+
+    object_mask_true = inputs["object_mask"].reshape(B, P)
+    object_mask = object_mask_true if cfg.use_mask else jnp.ones(
+        (B, P), bool)
+
+    ray_dirs, cam_loc = get_camera_params(uv, inputs["pose"],
+                                          inputs["intrinsics"])
+    org = jnp.broadcast_to(cam_loc[:, None, :], (B, P, 3))
+
+    # --- non-differentiable trace on frozen params (ref :192-198) ---------
+    params_sg = jax.lax.stop_gradient(params)
     if noise and "minimal_steps" in noise:
         min_steps = noise["minimal_steps"]
     else:
@@ -160,10 +172,31 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             min_steps = jax.random.uniform(k_trace, (tcfg.n_steps,))
         else:
             min_steps = None
-    tr = trace_rays(tcfg, sdf_frozen, jax.lax.stop_gradient(org),
-                    jax.lax.stop_gradient(ray_dirs), object_mask,
-                    training=training, minimal_steps=min_steps,
-                    march_fn=march_fn)
+    org_sg = jax.lax.stop_gradient(org)
+    dirs_sg = jax.lax.stop_gradient(ray_dirs)
+    if mesh is not None and cfg.shard_map_trace:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+        from ..parallel.mesh import DATA_AXIS
+        from ..tracing.sphere_trace import TraceResult
+
+        ray3 = PS(None, DATA_AXIS, None)
+        ray = PS(None, DATA_AXIS)
+        repl = PS()
+        p_repl = jax.tree_util.tree_map(lambda _: repl, params_sg)
+        tr = shard_map(
+            lambda p, o, d, m, s: _frozen_trace(cfg, p, o, d, m,
+                                                training, s),
+            mesh=mesh,
+            in_specs=(p_repl, ray3, ray3, ray, repl),
+            out_specs=TraceResult(
+                points=ray3, network_object_mask=ray, dists=ray,
+                sampler_mask=ray, mask_intersect=ray),
+            check_rep=False,
+        )(params_sg, org_sg, dirs_sg, object_mask, min_steps)
+    else:
+        tr = _frozen_trace(cfg, params_sg, org_sg, dirs_sg, object_mask,
+                           training, min_steps)
     dists = jax.lax.stop_gradient(tr.dists)
     net_obj_mask = tr.network_object_mask
 

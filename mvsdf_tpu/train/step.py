@@ -101,7 +101,7 @@ def make_train_step(cfg: MVSDFConfig, phase_idx: int,
                 inputs = dict(batch)
                 inputs["pose"] = pose_vecs[batch["indices"]]
             out = render_forward(cfg.model, params, inputs, training=True,
-                                 gates=gates, key=key)
+                                 gates=gates, key=key, mesh=mesh)
             gt = {k: batch[k] for k in GT_KEYS}
             lt = total_loss(out, gt, gates, sched, weights)
             return lt.loss, (lt, out.network_object_mask)
