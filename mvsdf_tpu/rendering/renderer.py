@@ -192,7 +192,7 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             out_specs=TraceResult(
                 points=ray3, network_object_mask=ray, dists=ray,
                 sampler_mask=ray, mask_intersect=ray),
-            check_rep=False,
+            check_vma=False,
         )(params_sg, org_sg, dirs_sg, object_mask, min_steps)
     else:
         tr = _frozen_trace(cfg, params_sg, org_sg, dirs_sg, object_mask,
