@@ -34,9 +34,15 @@ def main(argv=None):
                     help="HxW output resolution for --only_cam")
     ap.add_argument("--pallas", action="store_true",
                     help="fused TPU kernel for grid SDF evaluation")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. cpu)")
+    ap.add_argument("--conf", default="",
+                    help="HOCON config matching the trained checkpoint")
     args = ap.parse_args(argv)
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from ..config import MVSDFConfig
@@ -49,7 +55,11 @@ def main(argv=None):
     from .mesh import biggest_component, save_obj
     from .psnr import masked_psnr
 
-    cfg = MVSDFConfig()
+    if args.conf:
+        from ..hocon import config_from_hocon
+        cfg = config_from_hocon(args.conf)
+    else:
+        cfg = MVSDFConfig()
     if args.render_mode:
         # ref ray_tracing.py:127-131 + eval.py:106-107
         import dataclasses

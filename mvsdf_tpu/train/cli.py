@@ -28,19 +28,36 @@ def main(argv=None):
                     help="jointly optimize per-image camera poses")
     ap.add_argument("--matmul_precision", default="tensorfloat32",
                     choices=["default", "tensorfloat32", "highest"])
+    ap.add_argument("--conf", default="",
+                    help="HOCON config (reference mvsdf_dtu.conf format); "
+                         "defaults to the built-in full-size architecture")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. cpu); needed on hosts "
+                         "whose sitecustomize pre-pins the TPU backend")
     args = ap.parse_args(argv)
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
+    import dataclasses
     from ..config import MVSDFConfig, TrainConfig
     from ..data.scene import SceneData
     from .loop import Trainer
 
-    cfg = MVSDFConfig(train=TrainConfig(
-        batch_size=args.batch_size, num_pixels=args.num_pixels,
-        nepochs=args.nepoch, seed=args.seed,
-        train_cameras=args.train_cameras))
+    if args.conf:
+        from ..hocon import config_from_hocon
+        cfg = config_from_hocon(args.conf)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=args.batch_size,
+            num_pixels=args.num_pixels, nepochs=args.nepoch,
+            seed=args.seed, train_cameras=args.train_cameras))
+    else:
+        cfg = MVSDFConfig(train=TrainConfig(
+            batch_size=args.batch_size, num_pixels=args.num_pixels,
+            nepochs=args.nepoch, seed=args.seed,
+            train_cameras=args.train_cameras))
 
     exp_base = os.path.join(args.exps_folder, args.expname)
     if args.is_continue and args.timestamp == "latest" and \

@@ -30,6 +30,10 @@ class Trainer:
     def __init__(self, cfg: MVSDFConfig, scene: SceneData, exp_dir: str,
                  mesh: Optional[jax.sharding.Mesh] = None,
                  use_mesh: bool = True, log_fn=print):
+        if cfg.train.batch_size > scene.n_images:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} > {scene.n_images} "
+                "images: drop-last batching would run zero steps per epoch")
         self.cfg = cfg
         self.scene = scene
         self.exp_dir = exp_dir
