@@ -1,0 +1,193 @@
+"""Three-phase training validation at production scale (BASELINE config-3
+analog without DTU data): a fully coherent synthetic scene — textured
+lambertian sphere, 12 fibonacci cameras, analytic depth maps, frozen-CNN
+features computed from the actual images — trained through the reference's
+full phase schedule (A: depth+eikonal carving; B/C: + RGB with live
+geometry, feature consistency, surface indicator), then evaluated:
+DTU-style chamfer vs the analytic surface and PSNR of a held-out view.
+
+Prints a JSON summary. ~12-15 min on the tunneled v5e incl. 3 phase
+compiles (persistent-cached for reruns).
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=600)
+    ap.add_argument("--resolution", type=int, default=160)
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--no_pallas", action="store_true")
+    ap.add_argument("--n_pix", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/mvsdf_validation")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    jax.config.update("jax_default_matmul_precision", "tensorfloat32")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
+
+    from mvsdf_tpu.config import MVSDFConfig, TrainConfig
+    from mvsdf_tpu.fields.sdf import sdf_apply
+    from mvsdf_tpu.train.step import (make_train_step, init_train_state,
+                                      weights_to_array)
+    from mvsdf_tpu.rendering import render_forward
+    from mvsdf_tpu.eval.marching import extract_mesh
+    from mvsdf_tpu.eval.mesh import biggest_component, save_obj
+    from mvsdf_tpu.eval.psnr import masked_psnr
+    from mvsdf_tpu.eval.chamfer import dtu_style_eval
+    from tests.golden.scene_fixtures import make_scene_shaded
+
+    RADIUS = 0.45
+    N_VIEWS = 12
+    N_PIX = args.n_pix
+    HELD_OUT = N_VIEWS - 1  # last view excluded from training batches
+
+    cfg = MVSDFConfig(train=TrainConfig(
+        batch_size=args.batch, num_pixels=N_PIX, nepochs=args.epochs,
+        learning_rate=5e-5, skip_nonfinite_updates=True))
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, implicit_diff_min_dot=1e-2))
+    if not args.no_pallas:
+        tr = dataclasses.replace(cfg.model.tracer,
+                                 sampler_capacity_frac=0.25,
+                                 fill_capacity_frac=0.5)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, use_pallas_trace=True, tracer=tr))
+
+    print("building coherent scene + features...", flush=True)
+    sc = make_scene_shaded(n=N_VIEWS, n_pix=N_PIX, sphere_radius=RADIUS)
+    const = {k: jnp.asarray(np.asarray(sc[k])) for k in
+             ["intrinsics", "pose", "depths", "depth_cams", "size",
+              "center", "feat", "feat_src", "cam", "src_cams"]}
+
+    rng = np.random.default_rng(0)
+    train_views = np.arange(N_VIEWS - 1)
+
+    def batch_for(epoch):
+        sel = rng.permutation(sc["uv_full"].shape[0])[:N_PIX]
+        views = rng.permutation(train_views)[:cfg.train.batch_size]
+        b = {
+            "uv": jnp.asarray(np.tile(sc["uv_full"][sel][None],
+                                      (len(views), 1, 1))),
+            "rgb": jnp.asarray(sc["rgb_full"][views][:, sel]),
+            "object_mask": jnp.asarray(sc["mask_full"][views][:, sel]),
+            "indices": jnp.asarray(views.astype(np.int32)),
+        }
+        for k in ("intrinsics", "pose", "depths", "depth_cams", "feat",
+                  "feat_src", "cam", "src_cams"):
+            b[k] = const[k][jnp.asarray(views)]
+        b["size"] = const["size"][:len(views)]
+        b["center"] = const["center"][:len(views)]
+        return b
+
+    state = init_train_state(cfg, seed=0)
+    steps = {}
+    key = jax.random.PRNGKey(0)
+    sched = cfg.schedule
+    t0 = time.perf_counter()
+    n_rays = 0
+    metrics = None
+    for epoch in range(args.epochs):
+        tp = epoch / args.epochs
+        ph = sched.phase_index(tp)
+        if ph not in steps:
+            print(f"compiling phase {ph} step (epoch {epoch})...",
+                  flush=True)
+            steps[ph] = make_train_step(cfg, ph, donate=False)
+        w = weights_to_array(sched.weights(tp))
+        state = state._replace(epoch=jnp.asarray(epoch, jnp.int32))
+        key, k = jax.random.split(key)
+        state, metrics = steps[ph](state, batch_for(epoch), w, k)
+        n_rays += cfg.train.batch_size * N_PIX
+        if epoch % 100 == 0 or epoch == args.epochs - 1:
+            m = {kk: float(metrics[kk]) for kk in
+                 ("loss", "rgb_loss", "depth_loss", "feat_loss",
+                  "surf_loss", "hit_frac")}
+            print(f"[{epoch}] phase {ph} " +
+                  " ".join(f"{kk}={vv:.4f}" for kk, vv in m.items()),
+                  flush=True)
+    jax.block_until_ready(metrics["loss"])
+    train_s = time.perf_counter() - t0
+    rays_s = n_rays / train_s
+    print(f"trained {args.epochs} epochs in {train_s:.0f}s "
+          f"({rays_s:.0f} rays/s incl host batching)", flush=True)
+
+    params = state.params
+    icfg = cfg.model.implicit
+
+    if args.no_pallas:
+        def sdf(x):
+            return sdf_apply(icfg, params["implicit"], x)
+    else:
+        from mvsdf_tpu.tracing.pallas import (pack_sdf_weights,
+                                              make_pallas_sdf_fn)
+        sdf = make_pallas_sdf_fn(icfg, pack_sdf_weights(
+            icfg, params["implicit"]))
+
+    verts, faces = extract_mesh(sdf, resolution=args.resolution,
+                                bounds=(-0.6, 0.6))
+    verts, faces = biggest_component(verts, faces)
+    save_obj(os.path.join(args.out, "surface.obj"), verts, faces)
+    gt_pts = rng.normal(size=(100_000, 3))
+    gt_pts = gt_pts / np.linalg.norm(gt_pts, axis=1,
+                                     keepdims=True) * RADIUS
+    ch = dtu_style_eval(verts, faces, gt_pts, n_samples=100_000,
+                        max_dist=0.2)
+
+    # held-out view PSNR
+    H = W = 96
+    rows = []
+    for s in range(0, H * W, 4608):
+        sel = slice(s, min(s + 4608, H * W))
+        inputs = {
+            "uv": jnp.asarray(sc["uv_full"][sel][None]),
+            "intrinsics": const["intrinsics"][HELD_OUT][None],
+            "pose": const["pose"][HELD_OUT][None],
+            "object_mask": jnp.asarray(
+                sc["mask_full"][HELD_OUT][sel][None]),
+        }
+        out = render_forward(cfg.model, params, inputs, training=False)
+        rows.append(np.asarray(out.rgb_values[0]))
+    pred = (np.concatenate(rows, 0).reshape(H, W, 3) + 1) / 2
+    gt_img = (sc["rgb_full"][HELD_OUT].reshape(H, W, 3) + 1) / 2
+    mask = sc["mask_full"][HELD_OUT].reshape(H, W, 1)
+    psnr = masked_psnr(pred * mask, gt_img * mask, mask)
+    try:
+        from PIL import Image
+        Image.fromarray((np.clip(pred, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(args.out, "heldout_pred.png"))
+        Image.fromarray((np.clip(gt_img, 0, 1) * 255).astype(
+            np.uint8)).save(os.path.join(args.out, "heldout_gt.png"))
+    except Exception:
+        pass
+
+    summary = {
+        "epochs": args.epochs,
+        "rays_per_s_incl_host": round(rays_s, 1),
+        "final_loss": round(float(metrics["loss"]), 4),
+        "chamfer_accuracy": round(ch["accuracy"], 5),
+        "chamfer_completeness": round(ch["completeness"], 5),
+        "chamfer_overall": round(ch["overall"], 5),
+        "heldout_psnr": round(psnr, 2),
+        "mesh_verts": int(len(verts)),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,131 @@ def make_scene_fibonacci(n=10, img_hw=48, depth_hw=24, n_pix=192,
     return sc
 
 
+def _sphere_texture(p, radius):
+    """View-independent procedural albedo on the sphere surface, in [-1, 1].
+    p (..., 3) world points."""
+    n = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+    r = 0.6 * np.sin(7 * n[..., 0]) * np.cos(5 * n[..., 1])
+    g = 0.6 * np.sin(6 * n[..., 1] + 1.3) * np.cos(4 * n[..., 2])
+    b = 0.6 * np.sin(5 * n[..., 2] + 2.1) * np.cos(6 * n[..., 0])
+    return np.stack([r, g, b], -1)
+
+
+def render_shaded_sphere(cam_pos, extr, K, hw, radius,
+                         light=(0.3, 0.8, 0.5)):
+    """Analytic lambertian render of the textured sphere -> rgb (hw, hw, 3)
+    in [-1, 1] (background white = 1), depth (hw, hw), mask (hw, hw)."""
+    H = W = hw
+    ys, xs = np.mgrid[0:H, 0:W]
+    pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)],
+                   -1).reshape(-1, 3).astype(np.float64)
+    dirs_cam = (np.linalg.inv(K) @ pix.T).T
+    R = extr[:3, :3]
+    dirs_w = dirs_cam @ R
+    nrm = np.linalg.norm(dirs_w, axis=-1, keepdims=True)
+    dirs_w = dirs_w / nrm
+    o = np.asarray(cam_pos, np.float64)
+    b = dirs_w @ o
+    disc = b ** 2 - (o @ o - radius ** 2)
+    t = -b - np.sqrt(np.maximum(disc, 0))
+    hit = (disc > 0) & (t > 0)
+    pts = o + t[:, None] * dirs_w
+    n = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9)
+    ldir = np.asarray(light, np.float64)
+    ldir = ldir / np.linalg.norm(ldir)
+    shade = 0.35 + 0.65 * np.maximum(0.0, n @ ldir)
+    albedo = _sphere_texture(pts, radius)
+    rgb = np.clip(albedo * shade[:, None], -1, 1)
+    rgb = np.where(hit[:, None], rgb, 1.0)
+    z = t * dirs_cam[:, 2] / np.linalg.norm(dirs_cam, axis=-1)
+    depth = np.where(hit, z, 0.0)
+    return (rgb.reshape(H, W, 3).astype(np.float32),
+            depth.reshape(H, W).astype(np.float32),
+            hit.reshape(H, W))
+
+
+def make_scene_shaded(n=12, img_hw=96, depth_hw=48, n_pix=4096,
+                      sphere_radius=0.45, focal=None, seed=0,
+                      feat_params=None):
+    """Fully coherent multi-view scene: fibonacci cameras, analytic
+    lambertian renders of a textured sphere, analytic depth maps, and
+    frozen-CNN features computed from the actual images (consistent across
+    views — the feature-consistency loss gets real signal). Ground-truth
+    surface = the radius-``sphere_radius`` sphere at the origin."""
+    if focal is None:
+        focal = 1.3 * img_hw
+    sc = make_scene_fibonacci(n=n, img_hw=img_hw, depth_hw=depth_hw,
+                              n_pix=n_pix, feat_ch=32,
+                              sphere_radius=sphere_radius, focal=focal,
+                              seed=seed)
+    H = W = img_hw
+    h = w = depth_hw
+    Kd = sc["depth_cams"][0, 0, 1, :3, :3].astype(np.float64)
+    K = sc["intrinsics"][0, :3, :3].astype(np.float64)
+
+    rgbs = []
+    masks = []
+    depths = np.zeros((n, 1, 1, h, w), np.float32)
+    for i in range(n):
+        extr = np.linalg.inv(sc["pose"][i].astype(np.float64))
+        cam_pos = sc["pose"][i][:3, 3].astype(np.float64)
+        rgb, _, m = render_shaded_sphere(cam_pos, extr, K, H, sphere_radius)
+        _, z, _ = render_shaded_sphere(cam_pos, extr, Kd, h, sphere_radius)
+        rgbs.append(rgb)
+        masks.append(m)
+        depths[i, 0, 0] = z
+    sc["depths"] = depths
+
+    # frozen-CNN features from the real images (ImageNet-normalized at
+    # 2x depth res, head [2], like data/scene.py)
+    import jax.numpy as jnp
+    from mvsdf_tpu.data.featext import init_feat_ext, extract_features
+    import cv2
+    if feat_params is None:
+        feat_params = init_feat_ext(np.random.default_rng(0))
+    th, tw = h * 2, w * 2
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    imgs = []
+    for rgb in rgbs:
+        im = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_LINEAR)
+        imgs.append((((im / 2 + 0.5) - mean) / std).transpose(2, 0, 1))
+    feats = np.asarray(extract_features(feat_params,
+                                        jnp.asarray(np.stack(imgs))))
+
+    # nearest-2-camera source views per reference view
+    cams = sc["pose"][:, :3, 3]
+    src_idx = []
+    for i in range(n):
+        d = np.linalg.norm(cams - cams[i], axis=1)
+        d[i] = np.inf
+        src_idx.append(np.argsort(d)[:2])
+    # cams_hd = 2x depth cams with this scene's extrinsics
+    cams_hd = np.zeros((n, 2, 4, 4), np.float32)
+    for i in range(n):
+        cams_hd[i, 0] = np.linalg.inv(sc["pose"][i])
+        cams_hd[i, 1, :3, :3] = Kd * 2
+        cams_hd[i, 1, 2, 2] = 1.0
+
+    sc["feat"] = feats
+    sc["feat_src"] = np.stack([feats[s] for s in src_idx])
+    sc["cam"] = cams_hd
+    sc["src_cams"] = np.stack([cams_hd[s] for s in src_idx])
+
+    # full-image data for subset sampling by the caller
+    sc["rgb_full"] = np.stack(rgbs).reshape(n, H * W, 3)
+    sc["mask_full"] = np.stack(masks).reshape(n, H * W)
+    uv_full = np.stack(np.meshgrid(np.arange(W), np.arange(H)),
+                       -1).reshape(-1, 2).astype(np.float32)
+    sc["uv_full"] = uv_full
+    rng = np.random.default_rng(seed)
+    sel = rng.permutation(H * W)[:n_pix]
+    sc["uv"] = np.tile(uv_full[sel][None], (n, 1, 1))
+    sc["rgb"] = sc["rgb_full"][:, sel]
+    sc["object_mask"] = sc["mask_full"][:, sel]
+    return sc
+
+
 def _conv2(img, k):
     """Small same-size 2D convolution (separable box) for smoothing."""
     from scipy.signal import convolve2d
