@@ -140,14 +140,16 @@ def main():
             icfg, params["implicit"]))
 
     verts, faces = extract_mesh(sdf, resolution=args.resolution,
-                                bounds=(-0.6, 0.6))
-    verts, faces = biggest_component(verts, faces)
+                                bounds=(-0.7, 0.7))
     save_obj(os.path.join(args.out, "surface.obj"), verts, faces)
     gt_pts = rng.normal(size=(100_000, 3))
     gt_pts = gt_pts / np.linalg.norm(gt_pts, axis=1,
                                      keepdims=True) * RADIUS
-    ch = dtu_style_eval(verts, faces, gt_pts, n_samples=100_000,
-                        max_dist=0.2)
+    # evaluate inside the object region, excluding the ground plane and
+    # the never-observed bottom cap (frontal-camera rig)
+    bbox = np.array([[-0.55, -0.40, -0.55], [0.55, 0.55, 0.55]])
+    ch = dtu_style_eval(verts, faces, gt_pts, n_samples=200_000,
+                        max_dist=0.2, bbox=bbox)
 
     # held-out view PSNR
     H = W = 96

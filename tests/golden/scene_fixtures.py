@@ -70,9 +70,13 @@ def _sphere_texture(p, radius):
 
 
 def render_shaded_sphere(cam_pos, extr, K, hw, radius,
-                         light=(0.3, 0.8, 0.5)):
-    """Analytic lambertian render of the textured sphere -> rgb (hw, hw, 3)
-    in [-1, 1] (background white = 1), depth (hw, hw), mask (hw, hw)."""
+                         light=(0.3, 0.8, 0.5), plane_y=-0.55,
+                         plane_r=0.92):
+    """Analytic lambertian render of the textured sphere sitting above a
+    finite ground plane (the DTU analog: frontal cameras see the object
+    against a table, so depth maps densely constrain most rays). Returns
+    rgb (hw, hw, 3) in [-1, 1] (white where neither is hit), depth
+    (hw, hw) (0 = invalid), object mask (hw, hw)."""
     H = W = hw
     ys, xs = np.mgrid[0:H, 0:W]
     pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)],
@@ -84,22 +88,43 @@ def render_shaded_sphere(cam_pos, extr, K, hw, radius,
     dirs_w = dirs_w / nrm
     o = np.asarray(cam_pos, np.float64)
     b = dirs_w @ o
+
     disc = b ** 2 - (o @ o - radius ** 2)
-    t = -b - np.sqrt(np.maximum(disc, 0))
-    hit = (disc > 0) & (t > 0)
+    t_obj = -b - np.sqrt(np.maximum(disc, 0))
+    hit_obj = (disc > 0) & (t_obj > 0)
+
+    dy = dirs_w[:, 1]
+    t_pl = np.where(np.abs(dy) > 1e-9, (plane_y - o[1]) / dy, -1.0)
+    p_pl = o + t_pl[:, None] * dirs_w
+    hit_pl = (t_pl > 0) & (p_pl[:, 0] ** 2 + p_pl[:, 2] ** 2 <
+                           plane_r ** 2)
+    # object occludes the plane where both hit
+    hit_pl = hit_pl & (~hit_obj | (t_pl < t_obj))
+    hit_obj = hit_obj & (~hit_pl)
+
+    t = np.where(hit_obj, t_obj, np.where(hit_pl, t_pl, 0.0))
     pts = o + t[:, None] * dirs_w
-    n = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9)
+
     ldir = np.asarray(light, np.float64)
     ldir = ldir / np.linalg.norm(ldir)
-    shade = 0.35 + 0.65 * np.maximum(0.0, n @ ldir)
-    albedo = _sphere_texture(pts, radius)
-    rgb = np.clip(albedo * shade[:, None], -1, 1)
-    rgb = np.where(hit[:, None], rgb, 1.0)
+    n_obj = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True),
+                             1e-9)
+    shade_obj = 0.35 + 0.65 * np.maximum(0.0, n_obj @ ldir)
+    rgb_obj = np.clip(_sphere_texture(pts, radius) * shade_obj[:, None],
+                      -1, 1)
+    # plane: checker texture lit by the same light (normal +y)
+    checker = (np.floor(pts[:, 0] * 6) + np.floor(pts[:, 2] * 6)) % 2
+    base = np.where(checker > 0.5, 0.45, -0.1)
+    shade_pl = 0.4 + 0.6 * max(0.0, float(ldir[1]))
+    rgb_pl = np.stack([base * shade_pl + 0.1, base * shade_pl,
+                       base * shade_pl - 0.1], -1)
+    rgb = np.where(hit_obj[:, None], rgb_obj,
+                   np.where(hit_pl[:, None], np.clip(rgb_pl, -1, 1), 1.0))
     z = t * dirs_cam[:, 2] / np.linalg.norm(dirs_cam, axis=-1)
-    depth = np.where(hit, z, 0.0)
+    depth = np.where(hit_obj | hit_pl, z, 0.0)
     return (rgb.reshape(H, W, 3).astype(np.float32),
             depth.reshape(H, W).astype(np.float32),
-            hit.reshape(H, W))
+            hit_obj.reshape(H, W))
 
 
 def make_scene_shaded(n=12, img_hw=96, depth_hw=48, n_pix=4096,
@@ -120,6 +145,22 @@ def make_scene_shaded(n=12, img_hw=96, depth_hw=48, n_pix=4096,
     h = w = depth_hw
     Kd = sc["depth_cams"][0, 0, 1, :3, :3].astype(np.float64)
     K = sc["intrinsics"][0, :3, :3].astype(np.float64)
+
+    # frontal-cap cameras (the DTU rig looks down at a table): elevations
+    # 20-65 degrees above the horizon, golden-angle azimuths, radius 2.2
+    golden = np.pi * (3 - np.sqrt(5))
+    elev = np.deg2rad(np.linspace(20, 65, n))
+    azim = golden * np.arange(n)
+    cam_pos = 2.2 * np.stack([np.cos(elev) * np.cos(azim), np.sin(elev),
+                              np.cos(elev) * np.sin(azim)], -1)
+    extrs = np.stack([look_at_extrinsic(p) for p in cam_pos])
+    sc["pose"] = np.stack([np.linalg.inv(e) for e in extrs]).astype(
+        np.float32)
+    dc = np.zeros((n, 1, 2, 4, 4), np.float32)
+    for i in range(n):
+        dc[i, 0, 0] = extrs[i]
+        dc[i, 0, 1, :3, :3] = Kd
+    sc["depth_cams"] = dc
 
     rgbs = []
     masks = []
