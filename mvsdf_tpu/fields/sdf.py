@@ -126,7 +126,10 @@ def sdf_value_and_grad(cfg: ImplicitConfig, params, x):
 
 
 def full_value_and_grad(cfg: ImplicitConfig, params, x):
-    """Returns (full output (..., 2+F), sdf grad (..., 3))."""
-    out = implicit_apply(cfg, params, x)
-    g = sdf_grad(cfg, params, x)
+    """Returns (full output (..., 2+F), sdf grad (..., 3)) sharing ONE
+    forward pass (the vjp's linearization) between the value and the
+    spatial gradient — the hot supervised-path combination."""
+    out, pullback = jax.vjp(lambda p: implicit_apply(cfg, params, p), x)
+    ct = jnp.zeros_like(out).at[..., 0].set(1.0)
+    (g,) = pullback(ct)
     return out, g

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, Gates
-from ..fields.sdf import implicit_apply, sdf_apply, sdf_grad
+from ..fields.sdf import (implicit_apply, sdf_apply, sdf_grad,
+                          full_value_and_grad, sdf_value_and_grad)
 from ..fields.radiance import render_apply
 from ..geometry.cameras import get_camera_params
 from ..geometry import projections as proj
@@ -203,7 +204,14 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
     # Recompute points from dists so camera grads could flow (ref :200).
     points = org + dists[..., None] * ray_dirs
 
-    full_out = implicit_apply(icfg, params["implicit"], points)  # (B,P,2+F)
+    if training:
+        # one linearized forward yields both the (B,P,2+F) outputs and the
+        # rt_surf spatial gradients
+        full_out, g_rt = full_value_and_grad(icfg, params["implicit"],
+                                             points)
+    else:
+        full_out = implicit_apply(icfg, params["implicit"], points)
+        g_rt = None
     sdf_output = full_out[..., 0]
 
     groups = None
@@ -222,7 +230,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
                                          minval=-r, maxval=r)
 
         group_list = [("rt_surf", points, surface_mask.astype(jnp.float32))]
-        eik_out = implicit_apply(icfg, params["implicit"], eik_pts)
+        eik_out, g_eik = full_value_and_grad(icfg, params["implicit"],
+                                             eik_pts)
         group_list.append(("eik", eik_pts, jnp.ones((B, P // 2))))
 
         if gates.use_dsurf:
@@ -237,12 +246,12 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
         groups = {}
         for name, pts, mask in group_list:
             if name == "rt_surf":
-                sdf_vals = sdf_output
+                sdf_vals, g = sdf_output, g_rt
             elif name == "eik":
-                sdf_vals = eik_out[..., 0]
+                sdf_vals, g = eik_out[..., 0], g_eik
             else:
-                sdf_vals = sdf_apply(icfg, params["implicit"], pts)
-            g = sdf_grad(icfg, params["implicit"], pts)
+                sdf_vals, g = sdf_value_and_grad(icfg, params["implicit"],
+                                                 pts)
             groups[name] = {"points": pts, "sdf": sdf_vals, "grad": g,
                             "mask": mask}
 
@@ -264,8 +273,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
 
     # --- shading (ref get_rbg_value :324-338) -----------------------------
     view = -ray_dirs
-    rgb_out = implicit_apply(icfg, params["implicit"], diff_surf_pts)
-    normals = sdf_grad(icfg, params["implicit"], diff_surf_pts)
+    rgb_out, normals = full_value_and_grad(icfg, params["implicit"],
+                                           diff_surf_pts)
     features = rgb_out[..., 2:]
     pts_in, nrm_in, view_in = diff_surf_pts, normals, view
     if (training and gates.detach_geometry_for_rgb) or cfg.disable_rgb_grad:
