@@ -178,6 +178,22 @@ def main():
     except Exception:
         pass
 
+    # surface-indicator discrimination: logits on the GT surface should
+    # exceed logits at random cube points (drives mesh_cut confidences)
+    from mvsdf_tpu.fields.sdf import implicit_apply
+    on_l = np.asarray(implicit_apply(
+        icfg, params["implicit"], jnp.asarray(gt_pts[:5000],
+                                              jnp.float32))[..., 1])
+    rnd = rng.uniform(-1, 1, (5000, 3)).astype(np.float32)
+    off_l = np.asarray(implicit_apply(
+        icfg, params["implicit"], jnp.asarray(rnd))[..., 1])
+    thresh = np.median(np.concatenate([on_l, off_l]))
+    ind_acc = 0.5 * ((on_l > thresh).mean() + (off_l <= thresh).mean())
+
+    import pickle
+    with open(os.path.join(args.out, "params.pkl"), "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+
     summary = {
         "epochs": args.epochs,
         "rays_per_s_incl_host": round(rays_s, 1),
@@ -187,6 +203,7 @@ def main():
         "chamfer_overall": round(ch["overall"], 5),
         "heldout_psnr": round(psnr, 2),
         "mesh_verts": int(len(verts)),
+        "indicator_acc": round(float(ind_acc), 3),
     }
     print(json.dumps(summary))
 
