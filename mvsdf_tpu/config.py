@@ -164,9 +164,12 @@ class TrainConfig:
     learning_rate_cam: float = 1e-4
     # Skip optimizer updates on non-finite gradients (the reference author
     # prototyped exactly this guard, idr_train.py:296-300, commented out).
-    # Phase A runs unclipped in the reference schedule, so a single bad
-    # batch can otherwise poison the run. Off = reference-exact.
-    skip_nonfinite_updates: bool = False
+    # With finite gradients the guard is a numeric no-op, so every finite
+    # step stays reference-exact; when a gradient spike goes non-finite the
+    # update would poison the parameters permanently (observed in practice:
+    # phase A is unclipped per the reference schedule), so skipping is
+    # strictly better. Default on; disable for strict step-count parity.
+    skip_nonfinite_updates: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,11 @@ def main(argv=None):
                     help="HxW output resolution for --only_cam")
     ap.add_argument("--pallas", action="store_true",
                     help="fused TPU kernel for grid SDF evaluation")
+    ap.add_argument("--keep_all_components", action="store_true",
+                    help="skip the biggest-connected-component cleanup "
+                         "(the reference always keeps only the biggest, "
+                         "eval.py:120 — correct when the object touches "
+                         "the table; use this for floating objects)")
     ap.add_argument("--platform", default="",
                     help="force a jax platform (e.g. cpu)")
     ap.add_argument("--conf", default="",
@@ -101,7 +106,8 @@ def main(argv=None):
     if not args.render_mode:
         verts, faces = extract_mesh(sdf, resolution=args.resolution,
                                     scale_mat=scene.get_scale_mat())
-        verts, faces = biggest_component(verts, faces)
+        if not args.keep_all_components:
+            verts, faces = biggest_component(verts, faces)
         # surface-indicator vertex colors (ref plots.py:179-203): red = 1-s
         vu = (verts - scene.get_scale_mat()[:3, 3]) @ np.linalg.inv(
             scene.get_scale_mat()[:3, :3]).T

@@ -55,10 +55,18 @@ def restore_checkpoint(ckpt_dir: str, step: Optional[int], like_state):
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    item = {"params": like_state.params,
+            "opt_state": like_state.opt_state,
+            "epoch": like_state.epoch}
+    # Restore onto the *current* devices regardless of where the checkpoint
+    # was written (e.g. TPU-trained, CPU-evaluated): explicit per-leaf
+    # sharding restore args override the stored device metadata.
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    restore_args = jax.tree_util.tree_map(
+        lambda x: ocp.ArrayRestoreArgs(
+            sharding=sharding, dtype=getattr(x, "dtype", None)), item)
     with ocp.PyTreeCheckpointer() as ck:
-        tree = ck.restore(path, item={"params": like_state.params,
-                                      "opt_state": like_state.opt_state,
-                                      "epoch": like_state.epoch})
+        tree = ck.restore(path, item=item, restore_args=restore_args)
     rng_state = None
     rng_path = os.path.join(path, "rng.json")
     if os.path.exists(rng_path):

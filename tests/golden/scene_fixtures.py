@@ -70,11 +70,13 @@ def _sphere_texture(p, radius):
 
 
 def render_shaded_sphere(cam_pos, extr, K, hw, radius,
-                         light=(0.3, 0.8, 0.5), plane_y=-0.55,
+                         light=(0.3, 0.8, 0.5), plane_y=-0.43,
                          plane_r=0.92):
-    """Analytic lambertian render of the textured sphere sitting above a
-    finite ground plane (the DTU analog: frontal cameras see the object
-    against a table, so depth maps densely constrain most rays). Returns
+    """Analytic lambertian render of the textured sphere resting IN a
+    finite ground plane (the DTU analog: frontal cameras see the object on
+    a table, depth maps densely constrain most rays, and the object+table
+    surface is CONNECTED so biggest-component cleanup keeps both, like the
+    reference expects). Returns
     rgb (hw, hw, 3) in [-1, 1] (white where neither is hit), depth
     (hw, hw) (0 = invalid), object mask (hw, hw)."""
     H = W = hw
