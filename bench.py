@@ -61,9 +61,12 @@ def main():
     if os.environ.get("MVSDF_BENCH_PALLAS", "1") == "1":
         # fused VMEM-resident SDF kernel for the no-grad trace phase
         march = os.environ.get("MVSDF_BENCH_MARCH", "0") == "1"
+        inkpe = os.environ.get("MVSDF_BENCH_INKPE", "0") == "1"
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, use_pallas_trace=True, use_pallas_march=march))
-        _progress(f"pallas trace kernel: on (fused march: {march})")
+            cfg.model, use_pallas_trace=True, use_pallas_march=march,
+            pallas_in_kernel_pe=inkpe))
+        _progress(f"pallas trace kernel: on (fused march: {march}, "
+                  f"in-kernel PE: {inkpe})")
     if os.environ.get("MVSDF_BENCH_COMPACT", "1") == "1":
         # fallback-stage compaction (exact; dense branch on overflow)
         tr = dataclasses.replace(cfg.model.tracer,

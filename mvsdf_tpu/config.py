@@ -146,6 +146,10 @@ class ModelConfig:
     pallas_block: int = 1024
     pallas_march_block: int = 512
     pallas_interpret: bool = False
+    # Compute the positional encoding inside the kernel from raw xyz
+    # (input stream 8 lanes instead of 128); interpret-verified, off until
+    # profiled faster on real TPU.
+    pallas_in_kernel_pe: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

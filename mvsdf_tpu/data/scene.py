@@ -198,3 +198,14 @@ class SceneData:
 
     def get_scale_mat(self):
         return self.scale_mats[0]
+
+    def get_gt_pose(self, scaled: bool = False):
+        """Camera-to-world poses WITHOUT the unit-sphere normalization
+        (ref scene_dataset.py:253-268) — the ground truth that optimized
+        cameras are compared against in --eval_cameras."""
+        poses = np.zeros((self.n_images, 4, 4), np.float32)
+        for i, (w, s) in enumerate(zip(self.world_mats, self.scale_mats)):
+            P = (w @ s) if scaled else w
+            _, pose = decompose_projection(P[:3, :4])
+            poses[i] = pose
+        return poses

@@ -45,17 +45,49 @@ def rotation_errors_deg(R1: np.ndarray, R2: np.ndarray) -> np.ndarray:
     return np.degrees(np.arccos(np.clip(cos_err, -1, 1)))
 
 
+def _fit_scale_shift_sum_of_norms(p, g, iters=200, tol=1e-12):
+    """min_{c,t} sum_i ||g_i - (c p_i + t)||_2 — the reference solves this
+    with cvxpy (eval.py:206-212); same objective here via IRLS (iterated
+    reweighted least squares, Weiszfeld-style). Converges to the convex
+    optimum; closed-form LS is the first iterate."""
+    w = np.ones(len(p))
+    c, t = 1.0, np.zeros(p.shape[1])
+    for _ in range(iters):
+        W = w / w.sum()
+        mp = W @ p
+        mg = W @ g
+        pc = p - mp
+        gc = g - mg
+        c_new = (W * np.einsum("ni,ni->n", gc, pc)).sum() / max(
+            (W * np.einsum("ni,ni->n", pc, pc)).sum(), 1e-30)
+        t_new = mg - c_new * mp
+        if abs(c_new - c) < tol and np.abs(t_new - t).max() < tol:
+            c, t = c_new, t_new
+            break
+        c, t = c_new, t_new
+        r = np.linalg.norm(g - (c * p + t), axis=1)
+        w = 1.0 / np.maximum(r, 1e-9)
+    return c, t
+
+
 def camera_accuracy(pred_Rs, pred_ts, gt_Rs, gt_ts):
     """Align predicted cameras to GT; returns dict with the aligned
-    similarity and per-camera errors (ref get_cameras_accuracy)."""
+    similarity and per-camera errors.
+
+    Structure matches the reference ``get_cameras_accuracy``
+    (eval.py:188-232): global R_opt from rotation alignment, predicted
+    translations rotated by R_opt, then a robust (sum-of-norms) scale+shift
+    fit — IRLS instead of cvxpy."""
     pred_Rs = np.asarray(pred_Rs)
     gt_Rs = np.asarray(gt_Rs)
+    gt_ts = np.asarray(gt_ts)
     R_opt = align_rotations(pred_Rs, gt_Rs)
     R_fixed = np.einsum("ij,njk->nik", R_opt, pred_Rs)
-    c, R_align, t = umeyama(np.asarray(pred_ts), np.asarray(gt_ts))
-    t_fixed = (c * np.einsum("ij,nj->ni", R_align, np.asarray(pred_ts)) + t)
+    p = np.einsum("ij,nj->ni", R_opt, np.asarray(pred_ts))
+    c, t = _fit_scale_shift_sum_of_norms(p, gt_ts)
+    t_fixed = c * p + t
     return {
         "R_opt": R_opt, "scale": c, "t_opt": t,
         "R_errors_deg": rotation_errors_deg(R_fixed, gt_Rs),
-        "t_errors": np.linalg.norm(t_fixed - np.asarray(gt_ts), axis=-1),
+        "t_errors": np.linalg.norm(t_fixed - gt_ts, axis=-1),
     }

@@ -34,6 +34,12 @@ def main(argv=None):
                     help="HxW output resolution for --only_cam")
     ap.add_argument("--pallas", action="store_true",
                     help="fused TPU kernel for grid SDF evaluation")
+    ap.add_argument("--eval_cameras", action="store_true",
+                    help="evaluate optimized camera poses against GT "
+                         "(requires a --train_cameras checkpoint; the "
+                         "reference's --eval_cameras, eval.py:26-104): "
+                         "prints R/t errors, aligns the mesh by the "
+                         "camera similarity, renders with optimized poses")
     ap.add_argument("--keep_all_components", action="store_true",
                     help="skip the biggest-connected-component cleanup "
                          "(the reference always keeps only the biggest, "
@@ -80,7 +86,15 @@ def main(argv=None):
     evaldir = os.path.join(args.evals_folder, args.expname)
     os.makedirs(evaldir, exist_ok=True)
 
-    state = init_train_state(cfg, seed=0)
+    scene = None
+    if args.eval_cameras:
+        import dataclasses
+        scene = SceneData(args.data_dir, load_features=False)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, train_cameras=True))
+        state = init_train_state(cfg, seed=0, pose_init=scene.poses)
+    else:
+        state = init_train_state(cfg, seed=0)
     step = None if args.checkpoint == "latest" else int(args.checkpoint)
     state, _ = ckpt.restore_checkpoint(ckpt_dir, step, state)
     params = state.params
@@ -90,7 +104,36 @@ def main(argv=None):
         _render_only_cam(args, cfg, params, evaldir)
         return
 
-    scene = SceneData(args.data_dir, load_features=False)
+    if scene is None:
+        scene = SceneData(args.data_dir, load_features=False)
+
+    # --- camera accuracy + mesh alignment (ref eval.py:89-106) -----------
+    cams_transformation = None
+    opt_poses = None
+    if args.eval_cameras:
+        if state.pose_vecs is None:
+            raise ValueError("--eval_cameras needs a checkpoint trained "
+                             "with --train_cameras (no pose_vecs found)")
+        from ..geometry.cameras import quat_to_rot
+        from .cameras import camera_accuracy
+        pv = np.asarray(state.pose_vecs)
+        pred_Rs = np.asarray(quat_to_rot(jnp.asarray(pv[:, :4])))
+        pred_ts = pv[:, 4:].astype(np.float64)
+        gt_pose = scene.get_gt_pose()
+        acc = camera_accuracy(pred_Rs, pred_ts,
+                              gt_pose[:, :3, :3], gt_pose[:, :3, 3])
+        msg = ("CAMERAS EVALUATION: R error mean = %.2f ; t error mean = "
+               "%.2f ; R error median = %.2f ; t error median = %.2f" % (
+                   acc["R_errors_deg"].mean(), acc["t_errors"].mean(),
+                   np.median(acc["R_errors_deg"]),
+                   np.median(acc["t_errors"])))
+        print(msg)
+        with open(os.path.join(evaldir, "cameras.txt"), "w") as f:
+            f.write(msg + "\n")
+        cams_transformation = np.eye(4)
+        cams_transformation[:3, :3] = acc["scale"] * acc["R_opt"]
+        cams_transformation[:3, 3] = acc["t_opt"]
+        opt_poses = pv  # (n, 7) quat+t rows, accepted as "pose" input
 
     # --- mesh extraction (ref eval.py:109-125) ---------------------------
     icfg = cfg.model.implicit
@@ -104,13 +147,16 @@ def main(argv=None):
             return sdf_apply(icfg, params["implicit"], x)
 
     if not args.render_mode:
+        # with optimized cameras the mesh lives in the training frame; map
+        # it to GT world by the camera alignment (ref eval.py:116-123)
+        world = (cams_transformation if cams_transformation is not None
+                 else scene.get_scale_mat())
         verts, faces = extract_mesh(sdf, resolution=args.resolution,
-                                    scale_mat=scene.get_scale_mat())
+                                    scale_mat=world)
         if not args.keep_all_components:
             verts, faces = biggest_component(verts, faces)
         # surface-indicator vertex colors (ref plots.py:179-203): red = 1-s
-        vu = (verts - scene.get_scale_mat()[:3, 3]) @ np.linalg.inv(
-            scene.get_scale_mat()[:3, :3]).T
+        vu = (verts - world[:3, 3]) @ np.linalg.inv(world[:3, :3]).T
         surf = jax.nn.sigmoid(implicit_apply(
             icfg, params["implicit"], jnp.asarray(vu, jnp.float32))[..., 1])
         surf = np.asarray(surf)
@@ -132,10 +178,12 @@ def main(argv=None):
             for s in range(0, scene.total_pixels, args.chunk_pixels):
                 sel = np.arange(s, min(s + args.chunk_pixels,
                                        scene.total_pixels))
+                pose = (opt_poses[idx] if opt_poses is not None
+                        else scene.poses[idx])
                 inputs = {
                     "uv": jnp.asarray(scene.uv[sel][None]),
                     "intrinsics": jnp.asarray(scene.intrinsics[idx][None]),
-                    "pose": jnp.asarray(scene.poses[idx][None]),
+                    "pose": jnp.asarray(pose[None]),
                     "object_mask": jnp.asarray(
                         scene.masks[idx][sel][None]),
                 }

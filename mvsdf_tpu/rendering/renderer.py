@@ -122,7 +122,8 @@ def _frozen_trace(cfg: ModelConfig, params_sg, org, dirs, object_mask,
         packed = pack_sdf_weights(icfg, params_sg["implicit"])
         sdf_frozen = lambda x: pallas_sdf_apply(
             icfg, packed, x, block=cfg.pallas_block,
-            interpret=cfg.pallas_interpret)
+            interpret=cfg.pallas_interpret,
+            in_kernel_pe=cfg.pallas_in_kernel_pe)
         if cfg.use_pallas_march:
             from ..tracing.pallas.march_kernel import pallas_sphere_trace
             march_fn = lambda o, d, mi, tn, tf: pallas_sphere_trace(

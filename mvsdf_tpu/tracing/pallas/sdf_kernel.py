@@ -134,8 +134,31 @@ def _make_kernel(layer_kinds, n_weight_args):
     return kernel
 
 
+def _make_pe_kernel(layer_kinds, n_weight_args):
+    """Variant computing the positional encoding INSIDE the kernel from raw
+    (block, 8) xyz blocks: z = x8 @ M scatters frequency-scaled copies of
+    (x, y, z) across PE lanes, then constant id/sin/cos lane masks select
+    the transform (same machinery as the fused march kernel). Cuts the
+    kernel's HBM input stream from d_pe_pad (128) lanes to 8 per point."""
+    body = _make_kernel(layer_kinds, n_weight_args)
+
+    def kernel(x_ref, M_ref, mid_ref, msin_ref, mcos_ref, *refs):
+        z = jnp.dot(x_ref[:], M_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+        pe = (mid_ref[:] * z + msin_ref[:] * jnp.sin(z) +
+              mcos_ref[:] * jnp.cos(z))
+
+        class _Box:  # minimal ref-like wrapper over the computed PE block
+            def __getitem__(self, idx):
+                return pe
+
+        body(_Box(), *refs)
+
+    return kernel
+
+
 def pallas_sdf_apply(cfg: ImplicitConfig, packed, x, block: int = 1024,
-                     interpret: bool = False):
+                     interpret: bool = False, in_kernel_pe: bool = False):
     """SDF at x (..., 3) -> (...) via the fused kernel. ``packed`` is a
     traced pytree from pack_sdf_weights — safe to call inside a larger jit
     (e.g. the training step, re-packing effective weights each step)."""
@@ -150,41 +173,54 @@ def pallas_sdf_apply(cfg: ImplicitConfig, packed, x, block: int = 1024,
     for entry in packed["layers"]:
         layer_kinds.append(entry[0])
         weight_args.extend(entry[1:])
-    kernel = _make_kernel(layer_kinds, len(weight_args))
 
     lead = x.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
     xf = x.reshape(n, 3)
-    pe = positional_encoding(xf, cfg.multires)
-    pe = jnp.pad(pe, ((0, 0), (0, d_pe_pad - d_pe)))
     n_pad = _round_up(max(n, block), block)
-    pe = jnp.pad(pe, ((0, n_pad - n), (0, 0)))
 
-    grid = (n_pad // block,)
-    in_specs = [pl.BlockSpec((block, d_pe_pad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
+    if in_kernel_pe:
+        from .march_kernel import pe_constants
+        kernel = _make_pe_kernel(layer_kinds, len(weight_args))
+        M, m_id, m_sin, m_cos = pe_constants(cfg, d_pe_pad)
+        x8 = jnp.pad(xf, ((0, n_pad - n), (0, 5)))
+        lead_args = (x8, M, m_id, m_sin, m_cos)
+        in_specs = [pl.BlockSpec((block, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for a in (M, m_id, m_sin, m_cos)]
+    else:
+        kernel = _make_kernel(layer_kinds, len(weight_args))
+        pe = positional_encoding(xf, cfg.multires)
+        pe = jnp.pad(pe, ((0, n_pad - n), (0, d_pe_pad - d_pe)))
+        lead_args = (pe,)
+        in_specs = [pl.BlockSpec((block, d_pe_pad), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+
     for w in weight_args:
         in_specs.append(pl.BlockSpec(
             w.shape, lambda i, _nd=w.ndim: (0,) * _nd,
             memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n_pad // block,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         interpret=interpret,
-    )(pe, *weight_args)
+    )(*lead_args, *weight_args)
     return out[:n, 0].reshape(lead)
 
 
 def make_pallas_sdf_fn(cfg: ImplicitConfig, packed, block: int = 1024,
-                       interpret: bool = False):
+                       interpret: bool = False, in_kernel_pe: bool = False):
     """Convenience closure: sdf_fn(x) with packed weights captured."""
     @jax.jit
     def sdf_fn(x):
         return pallas_sdf_apply(cfg, packed, x, block=block,
-                                interpret=interpret)
+                                interpret=interpret,
+                                in_kernel_pe=in_kernel_pe)
 
     return sdf_fn

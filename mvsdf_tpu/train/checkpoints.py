@@ -24,10 +24,16 @@ def save_checkpoint(ckpt_dir: str, step: int, state, rng_state=None):
     sampling RNG), stored alongside for bit-exact resume."""
     ocp = _ckptr()
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    tree = {"params": state.params,
+            "opt_state": state.opt_state,
+            "epoch": state.epoch}
+    # camera-pose optimization state (ref saves CamParameters/*.pth
+    # separately, idr_train.py:188-199; here part of the same atomic step)
+    if getattr(state, "pose_vecs", None) is not None:
+        tree["pose_vecs"] = state.pose_vecs
+        tree["cam_opt"] = state.cam_opt
     with ocp.PyTreeCheckpointer() as ck:
-        ck.save(path, {"params": state.params,
-                       "opt_state": state.opt_state,
-                       "epoch": state.epoch}, force=True)
+        ck.save(path, tree, force=True)
     if rng_state is not None:
         import json
         with open(os.path.join(path, "rng.json"), "w") as f:
@@ -58,6 +64,16 @@ def restore_checkpoint(ckpt_dir: str, step: Optional[int], like_state):
     item = {"params": like_state.params,
             "opt_state": like_state.opt_state,
             "epoch": like_state.epoch}
+    if getattr(like_state, "pose_vecs", None) is not None:
+        # only ask for camera state the checkpoint actually has — e.g.
+        # --eval_cameras against a camera-less checkpoint should reach the
+        # caller's clear error, not an orbax structure mismatch
+        with ocp.PyTreeCheckpointer() as ck:
+            stored = ck.metadata(path)
+        stored_keys = set(getattr(stored, "item_metadata", None) or ())
+        if "pose_vecs" in stored_keys:
+            item["pose_vecs"] = like_state.pose_vecs
+            item["cam_opt"] = like_state.cam_opt
     # Restore onto the *current* devices regardless of where the checkpoint
     # was written (e.g. TPU-trained, CPU-evaluated): explicit per-leaf
     # sharding restore args override the stored device metadata.
@@ -75,7 +91,9 @@ def restore_checkpoint(ckpt_dir: str, step: Optional[int], like_state):
             rng_state = _unjsonable(json.load(f))
     state = type(like_state)(params=tree["params"],
                              opt_state=tree["opt_state"],
-                             epoch=tree["epoch"])
+                             epoch=tree["epoch"],
+                             pose_vecs=tree.get("pose_vecs"),
+                             cam_opt=tree.get("cam_opt"))
     return state, rng_state
 
 

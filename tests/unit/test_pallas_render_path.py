@@ -46,7 +46,10 @@ def test_pallas_trace_path_matches_jnp_path():
                                     pallas_march_block=128)
     out_c = render_forward(cfg_march, params, inputs, training=True,
                            noise=noise)
-    for out_x in (out_b, out_c):
+    cfg_inkpe = dataclasses.replace(cfg_pallas, pallas_in_kernel_pe=True)
+    out_d = render_forward(cfg_inkpe, params, inputs, training=True,
+                           noise=noise)
+    for out_x in (out_b, out_c, out_d):
         np.testing.assert_array_equal(np.asarray(out_a.network_object_mask),
                                       np.asarray(out_x.network_object_mask))
         np.testing.assert_allclose(np.asarray(out_a.dists),

@@ -10,12 +10,14 @@ from mvsdf_tpu.tracing.pallas import pack_sdf_weights, make_pallas_sdf_fn
 def _check(cfg, n=700, seed=0, atol=2e-5):
     params = init_implicit(cfg, np.random.default_rng(seed))
     packed = pack_sdf_weights(cfg, params)
-    fn = make_pallas_sdf_fn(cfg, packed, block=256, interpret=True)
     x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (n, 3)),
                     jnp.float32)
-    ours = np.asarray(fn(x))
     ref = np.asarray(sdf_apply(cfg, params, x))
-    np.testing.assert_allclose(ours, ref, atol=atol, rtol=1e-5)
+    for in_kernel_pe in (False, True):
+        fn = make_pallas_sdf_fn(cfg, packed, block=256, interpret=True,
+                                in_kernel_pe=in_kernel_pe)
+        np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=atol,
+                                   rtol=1e-5)
 
 
 def test_pallas_sdf_full_size_topology():

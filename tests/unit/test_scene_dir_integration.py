@@ -128,3 +128,80 @@ def test_trainer_runs_on_disk_scene(scene_dir, tmp_path):
     assert int(tr2.state.epoch) == 4
     # metrics log exists
     assert os.path.exists(str(tmp_path / "exp" / "metrics.jsonl"))
+
+
+def test_camera_opt_checkpoint_roundtrip_and_accuracy(scene_dir, tmp_path):
+    """pose_vecs/cam_opt persist through checkpoints (ref saves
+    CamParameters/*.pth, idr_train.py:188-199) and the restored poses
+    feed the camera-accuracy evaluation (ref eval.py:89-104)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from mvsdf_tpu.config import (MVSDFConfig, ModelConfig, Schedule,
+                                  TrainConfig)
+    from mvsdf_tpu.fields.sdf import ImplicitConfig
+    from mvsdf_tpu.fields.radiance import RenderConfig
+    from mvsdf_tpu.tracing.sphere_trace import TracerConfig
+    from mvsdf_tpu.train.loop import Trainer
+    from mvsdf_tpu.train.step import init_train_state
+    from mvsdf_tpu.train import checkpoints as ckpt
+    from mvsdf_tpu.geometry.cameras import quat_to_rot
+    from mvsdf_tpu.eval.cameras import camera_accuracy
+
+    sd = SceneData(scene_dir)
+    cfg = MVSDFConfig(
+        model=ModelConfig(
+            implicit=ImplicitConfig(feature_vector_size=32, dims=(32,) * 2,
+                                    skip_in=(), multires=4),
+            render=RenderConfig(feature_vector_size=32, dims=(32,),
+                                multires_view=2),
+            tracer=TracerConfig(sphere_tracing_iters=3, n_steps=12,
+                                n_secant_steps=2, sample_chunk=0)),
+        schedule=Schedule(),
+        train=TrainConfig(batch_size=3, num_pixels=32, nepochs=2,
+                          train_cameras=True))
+    tr = Trainer(cfg, sd, str(tmp_path / "exp"), use_mesh=False)
+    state = tr.run(resume=False)
+    assert state.pose_vecs is not None
+
+    like = init_train_state(cfg, seed=1, pose_init=sd.poses)
+    restored, _ = ckpt.restore_checkpoint(
+        str(tmp_path / "exp" / "checkpoints"), None, like)
+    assert restored.pose_vecs is not None
+    np.testing.assert_allclose(np.asarray(restored.pose_vecs),
+                               np.asarray(state.pose_vecs), atol=1e-7)
+
+    pv = np.asarray(restored.pose_vecs)
+    pred_Rs = np.asarray(quat_to_rot(jnp.asarray(pv[:, :4])))
+    gt = sd.get_gt_pose()
+    acc = camera_accuracy(pred_Rs, pv[:, 4:].astype(np.float64),
+                          gt[:, :3, :3], gt[:, :3, 3])
+    # poses barely moved in 2 epochs; alignment must stay tight
+    assert acc["R_errors_deg"].mean() < 5.0
+    assert acc["t_errors"].mean() < 0.5
+
+
+def test_eval_cameras_requires_pose_checkpoint(scene_dir, tmp_path):
+    """--eval_cameras on a camera-less checkpoint fails with a clear
+    message rather than garbage output."""
+    import dataclasses
+    from mvsdf_tpu.config import (MVSDFConfig, ModelConfig, Schedule,
+                                  TrainConfig)
+    from mvsdf_tpu.fields.sdf import ImplicitConfig
+    from mvsdf_tpu.fields.radiance import RenderConfig
+    from mvsdf_tpu.tracing.sphere_trace import TracerConfig
+    from mvsdf_tpu.train.step import init_train_state
+    from mvsdf_tpu.train import checkpoints as ckpt
+
+    cfg = MVSDFConfig(
+        model=ModelConfig(
+            implicit=ImplicitConfig(feature_vector_size=32, dims=(32,) * 2,
+                                    skip_in=(), multires=4),
+            render=RenderConfig(feature_vector_size=32, dims=(32,),
+                                multires_view=2),
+            tracer=TracerConfig(sphere_tracing_iters=3, n_steps=12,
+                                n_secant_steps=2, sample_chunk=0)),
+        schedule=Schedule(), train=TrainConfig(batch_size=3, num_pixels=32))
+    state = init_train_state(cfg, seed=0)
+    ckpt.save_checkpoint(str(tmp_path / "ck"), 1, state)
+    restored, _ = ckpt.restore_checkpoint(str(tmp_path / "ck"), None, state)
+    assert restored.pose_vecs is None
