@@ -21,6 +21,9 @@ def main(argv=None):
     ap.add_argument("--exps_folder", default="exps")
     ap.add_argument("--is_continue", action="store_true")
     ap.add_argument("--timestamp", default="latest")
+    ap.add_argument("--checkpoint", default="latest",
+                    help="epoch to resume from with --is_continue "
+                         "(default: latest)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_mesh", action="store_true",
                     help="disable multi-device sharding")
@@ -74,7 +77,9 @@ def main(argv=None):
 
     scene = SceneData(args.data_dir)
     trainer = Trainer(cfg, scene, exp_dir, use_mesh=not args.no_mesh)
-    trainer.run(resume=args.is_continue)
+    resume_step = (None if args.checkpoint == "latest"
+                   else int(args.checkpoint))
+    trainer.run(resume=args.is_continue, resume_step=resume_step)
 
 
 if __name__ == "__main__":

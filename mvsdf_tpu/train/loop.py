@@ -57,8 +57,11 @@ class Trainer:
             os.path.join(exp_dir, "metrics.jsonl"), echo=lambda *_: None)
         self.throughput = Throughput()
 
-    def maybe_resume(self):
-        step = ckpt.latest_step(self.ckpt_dir)
+    def maybe_resume(self, step=None):
+        """step=None resumes the latest checkpoint; an int resumes that
+        specific epoch (ref exp_runner.py --checkpoint)."""
+        if step is None:
+            step = ckpt.latest_step(self.ckpt_dir)
         if step is None:
             return False
         self.state, rng_state = ckpt.restore_checkpoint(
@@ -161,9 +164,9 @@ class Trainer:
                 os.path.join(self.plots_dir, f"rendering_{epoch}.png"),
                 rgb, self.scene.rgb[idx][None], self.scene.img_res)
 
-    def run(self, resume: bool = True):
+    def run(self, resume: bool = True, resume_step=None):
         if resume:
-            self.maybe_resume()
+            self.maybe_resume(resume_step)
         cfg = self.cfg
         for epoch in range(self.start_epoch, cfg.train.nepochs + 1):
             self.train_epoch(epoch)
