@@ -33,7 +33,8 @@ def main(argv=None):
     ap.add_argument("--only_cam_size", default="",
                     help="HxW output resolution for --only_cam")
     ap.add_argument("--pallas", action="store_true",
-                    help="fused TPU kernel for grid SDF evaluation")
+                    help="fused TPU kernel for grid SDF evaluation and "
+                         "for the ray trace in the rendering paths")
     ap.add_argument("--eval_cameras", action="store_true",
                     help="evaluate optimized camera poses against GT "
                          "(requires a --train_cameras checkpoint; the "
@@ -71,6 +72,13 @@ def main(argv=None):
         cfg = config_from_hocon(args.conf)
     else:
         cfg = MVSDFConfig()
+    if args.pallas:
+        # fused trace kernel for the rendering paths too (the grid SDF
+        # evaluation below has its own pallas toggle); the trace only
+        # locates surface points — rgb is still evaluated in f32
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, model=_dc.replace(
+            cfg.model, use_pallas_trace=True))
     if args.render_mode:
         # ref ray_tracing.py:127-131 + eval.py:106-107
         import dataclasses
@@ -173,23 +181,31 @@ def main(argv=None):
         os.makedirs(images_dir, exist_ok=True)
         H, W = scene.img_res
         psnrs = []
+        # one compiled program serves every chunk: jit once, pad the tail
+        chunk = min(args.chunk_pixels, scene.total_pixels)
+
+        @jax.jit
+        def _render(p, inputs):
+            return render_forward(cfg.model, p, inputs,
+                                  training=False).rgb_values
+
         for idx in range(scene.n_images):
             rgb_rows = []
-            for s in range(0, scene.total_pixels, args.chunk_pixels):
-                sel = np.arange(s, min(s + args.chunk_pixels,
-                                       scene.total_pixels))
+            for s in range(0, scene.total_pixels, chunk):
+                sel = np.arange(s, min(s + chunk, scene.total_pixels))
+                pad = chunk - len(sel)
+                selp = np.concatenate([sel, np.zeros(pad, sel.dtype)])
                 pose = (opt_poses[idx] if opt_poses is not None
                         else scene.poses[idx])
                 inputs = {
-                    "uv": jnp.asarray(scene.uv[sel][None]),
+                    "uv": jnp.asarray(scene.uv[selp][None]),
                     "intrinsics": jnp.asarray(scene.intrinsics[idx][None]),
                     "pose": jnp.asarray(pose[None]),
                     "object_mask": jnp.asarray(
-                        scene.masks[idx][sel][None]),
+                        scene.masks[idx][selp][None]),
                 }
-                out = render_forward(cfg.model, params, inputs,
-                                     training=False)
-                rgb_rows.append(np.asarray(out.rgb_values[0]))
+                out = _render(params, inputs)
+                rgb_rows.append(np.asarray(out[0])[:len(sel)])
             rgb = np.concatenate(rgb_rows, 0).reshape(H, W, 3)
             rgb = (rgb + 1) / 2
             Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(
@@ -222,20 +238,30 @@ def _render_only_cam(args, cfg, params, evaldir):
     os.makedirs(out_dir, exist_ok=True)
     uv = np.stack(np.meshgrid(np.arange(W), np.arange(H)),
                   -1).reshape(-1, 2).astype(np.float32)
+    import jax
+    chunk = min(args.chunk_pixels, H * W)
+
+    @jax.jit
+    def _render(p, inputs):
+        return render_forward(cfg.model, p, inputs,
+                              training=False).rgb_values
+
     for i in range(n):
         P = (cams[f"world_mat_{i}"] @ cams[f"scale_mat_{i}"])[:3, :4]
         intr, pose = decompose_projection(P)
         rows = []
-        for s in range(0, H * W, args.chunk_pixels):
-            sel = slice(s, min(s + args.chunk_pixels, H * W))
+        for s in range(0, H * W, chunk):
+            sel = np.arange(s, min(s + chunk, H * W))
+            pad = chunk - len(sel)
+            selp = np.concatenate([sel, np.zeros(pad, sel.dtype)])
             inputs = {
-                "uv": jnp.asarray(uv[sel][None]),
+                "uv": jnp.asarray(uv[selp][None]),
                 "intrinsics": jnp.asarray(intr[None]),
                 "pose": jnp.asarray(pose[None]),
-                "object_mask": jnp.ones((1, uv[sel].shape[0]), bool),
+                "object_mask": jnp.ones((1, chunk), bool),
             }
-            out = render_forward(cfg.model, params, inputs, training=False)
-            rows.append(np.asarray(out.rgb_values[0]))
+            out = _render(params, inputs)
+            rows.append(np.asarray(out[0])[:len(sel)])
         rgb = (np.concatenate(rows, 0).reshape(H, W, 3) + 1) / 2
         Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"eval_{i:03d}.png"))
