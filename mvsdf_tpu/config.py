@@ -166,6 +166,12 @@ class TrainConfig:
     # optional camera-pose optimization (ref idr_train.py:121-127)
     train_cameras: bool = False
     learning_rate_cam: float = 1e-4
+    # Fused-dispatch execution (single-process): scene tensors resident on
+    # device, one jitted lax.scan program runs up to epochs_per_dispatch
+    # epochs per dispatch, metrics fetched one chunk behind. Multi-host
+    # runs always use the per-epoch host-sharded path.
+    fused_dispatch: bool = True
+    epochs_per_dispatch: int = 16
     # Skip optimizer updates on non-finite gradients (the reference author
     # prototyped exactly this guard, idr_train.py:296-300, commented out).
     # With finite gradients the guard is a numeric no-op, so every finite

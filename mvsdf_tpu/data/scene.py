@@ -43,8 +43,10 @@ class SceneData:
 
     def __init__(self, data_dir: str, num_src: int = 2,
                  feat_img_scale: int = 2, feat_params=None,
-                 load_features: bool = True):
+                 load_features: bool = True,
+                 allow_random_features: bool = False):
         self.data_dir = data_dir
+        self.allow_random_features = allow_random_features
         self.num_src = num_src  # top-2 source views (ref :104)
         self.feat_img_scale = feat_img_scale
 
@@ -138,8 +140,28 @@ class SceneData:
             if weights_path and os.path.exists(weights_path):
                 from .featext import load_torch_checkpoint
                 feat_params = load_torch_checkpoint(weights_path)
-            else:
+            elif self.allow_random_features:
+                # Explicit opt-in only (synthetic fixtures / bring-up): on
+                # real imagery the feature-consistency loss would supervise
+                # against CNN noise instead of the pretrained VisMVSNet
+                # features the reference loads (ref my_utils.py:688-708).
+                import warnings
+                warnings.warn(
+                    "FeatExt: using RANDOM CNN weights "
+                    "(allow_random_features=True). Feature-consistency "
+                    "supervision is meaningless on real scenes without the "
+                    "pretrained VisMVSNet checkpoint.", stacklevel=2)
                 feat_params = init_feat_ext(np.random.default_rng(0))
+            else:
+                raise FileNotFoundError(
+                    "Pretrained FeatExt weights not found. Point "
+                    "MVSDF_VISMVSNET_PT at the VisMVSNet checkpoint "
+                    "(vismvsnet.pt from the MVSDF release — see the "
+                    "reference README.md:32, HuggingFace jzhangbs/mvsdf), "
+                    "convert with mvsdf_tpu.data.featext."
+                    "load_torch_checkpoint, or pass "
+                    "allow_random_features=True to accept random features "
+                    "(synthetic/bring-up scenes only).")
         return np.asarray(extract_features(feat_params, imgs))
 
     # ------------------------------------------------------------------

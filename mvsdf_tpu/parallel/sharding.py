@@ -42,10 +42,28 @@ def device_put_batch(mesh, batch):
                                  batch_shardings(mesh, batch).values())}
 
 
+def validate_ray_divisibility(num_pixels: int, mesh=None):
+    """Fail loud on silent remainder drops: the per-image ray axis must
+    split evenly over processes (host-sharded loading) and over the mesh's
+    data axis (shard layout)."""
+    n_proc = jax.process_count()
+    if num_pixels % n_proc != 0:
+        raise ValueError(
+            f"num_pixels={num_pixels} is not divisible by process_count="
+            f"{n_proc}: host-sharded loading would silently drop "
+            f"{num_pixels % n_proc} rays per image")
+    if mesh is not None and num_pixels % mesh.size != 0:
+        raise ValueError(
+            f"num_pixels={num_pixels} is not divisible by mesh size "
+            f"{mesh.size}: the ray axis cannot shard evenly over "
+            f"'{DATA_AXIS}'")
+
+
 def host_ray_slice(num_pixels: int):
     """This host's slice of the per-image ray axis: each host samples and
     feeds only its own rays (host-sharded data loading; the per-epoch pixel
     subset itself is seeded identically on every host)."""
+    validate_ray_divisibility(num_pixels)
     n = jax.process_count()
     i = jax.process_index()
     per = num_pixels // n

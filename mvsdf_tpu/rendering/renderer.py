@@ -197,8 +197,9 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             check_vma=False,
         )(params_sg, org_sg, dirs_sg, object_mask, min_steps)
     else:
-        tr = _frozen_trace(cfg, params_sg, org_sg, dirs_sg, object_mask,
-                           training, min_steps)
+        with jax.named_scope("frozen_trace"):
+            tr = _frozen_trace(cfg, params_sg, org_sg, dirs_sg, object_mask,
+                               training, min_steps)
     dists = jax.lax.stop_gradient(tr.dists)
     net_obj_mask = tr.network_object_mask
 

@@ -19,9 +19,11 @@ def _ckptr():
     return ocp
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state, rng_state=None):
+def save_checkpoint(ckpt_dir: str, step: int, state, rng_state=None,
+                    jax_key=None):
     """state: TrainState; rng_state: numpy Generator state dict (host
-    sampling RNG), stored alongside for bit-exact resume."""
+    sampling RNG) and jax_key: the per-batch jax PRNG key, both stored
+    alongside for bit-exact resume."""
     ocp = _ckptr()
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
     tree = {"params": state.params,
@@ -34,10 +36,13 @@ def save_checkpoint(ckpt_dir: str, step: int, state, rng_state=None):
         tree["cam_opt"] = state.cam_opt
     with ocp.PyTreeCheckpointer() as ck:
         ck.save(path, tree, force=True)
-    if rng_state is not None:
+    if rng_state is not None or jax_key is not None:
         import json
+        blob = {"np_rng": rng_state}
+        if jax_key is not None:
+            blob["jax_key"] = np.asarray(jax_key)
         with open(os.path.join(path, "rng.json"), "w") as f:
-            json.dump(_jsonable(rng_state), f)
+            json.dump(_jsonable(blob), f)
     # update "latest" pointer
     with open(os.path.join(os.path.abspath(ckpt_dir), "latest.txt"),
               "w") as f:
@@ -89,6 +94,9 @@ def restore_checkpoint(ckpt_dir: str, step: Optional[int], like_state):
         import json
         with open(rng_path) as f:
             rng_state = _unjsonable(json.load(f))
+        if not (isinstance(rng_state, dict) and "np_rng" in rng_state):
+            # pre-round-2 layout: bare numpy Generator state
+            rng_state = {"np_rng": rng_state, "jax_key": None}
     state = type(like_state)(params=tree["params"],
                              opt_state=tree["opt_state"],
                              epoch=tree["epoch"],

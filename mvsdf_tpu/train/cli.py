@@ -37,6 +37,21 @@ def main(argv=None):
     ap.add_argument("--platform", default="",
                     help="force a jax platform (e.g. cpu); needed on hosts "
                          "whose sitecustomize pre-pins the TPU backend")
+    ap.add_argument("--no_fused", action="store_true",
+                    help="disable the fused multi-epoch dispatch (device-"
+                         "resident scene cache + lax.scan); falls back to "
+                         "the reference-shaped per-epoch host loop")
+    ap.add_argument("--epochs_per_dispatch", type=int, default=16)
+    ap.add_argument("--profile_dir", default="",
+                    help="capture a jax.profiler trace of the first "
+                         "--profile_epochs epochs into this directory")
+    ap.add_argument("--profile_epochs", type=int, default=0)
+    ap.add_argument("--allow_random_features", action="store_true",
+                    help="proceed with RANDOM FeatExt CNN weights when the "
+                         "pretrained VisMVSNet checkpoint "
+                         "(MVSDF_VISMVSNET_PT) is absent — synthetic "
+                         "bring-up scenes only; on real imagery the "
+                         "feature-consistency loss would supervise noise")
     args = ap.parse_args(argv)
 
     import jax
@@ -55,12 +70,16 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size,
             num_pixels=args.num_pixels, nepochs=args.nepoch,
-            seed=args.seed, train_cameras=args.train_cameras))
+            seed=args.seed, train_cameras=args.train_cameras,
+            fused_dispatch=not args.no_fused,
+            epochs_per_dispatch=args.epochs_per_dispatch))
     else:
         cfg = MVSDFConfig(train=TrainConfig(
             batch_size=args.batch_size, num_pixels=args.num_pixels,
             nepochs=args.nepoch, seed=args.seed,
-            train_cameras=args.train_cameras))
+            train_cameras=args.train_cameras,
+            fused_dispatch=not args.no_fused,
+            epochs_per_dispatch=args.epochs_per_dispatch))
 
     exp_base = os.path.join(args.exps_folder, args.expname)
     if args.is_continue and args.timestamp == "latest" and \
@@ -75,8 +94,11 @@ def main(argv=None):
     exp_dir = os.path.join(exp_base, stamp)
     os.makedirs(exp_dir, exist_ok=True)
 
-    scene = SceneData(args.data_dir)
-    trainer = Trainer(cfg, scene, exp_dir, use_mesh=not args.no_mesh)
+    scene = SceneData(args.data_dir,
+                      allow_random_features=args.allow_random_features)
+    trainer = Trainer(cfg, scene, exp_dir, use_mesh=not args.no_mesh,
+                      profile_dir=args.profile_dir or None,
+                      profile_epochs=args.profile_epochs)
     resume_step = (None if args.checkpoint == "latest"
                    else int(args.checkpoint))
     trainer.run(resume=args.is_continue, resume_step=resume_step)

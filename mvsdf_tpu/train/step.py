@@ -80,11 +80,11 @@ def weights_from_array(a) -> Weights:
                    far_att=a[5], near_att=a[6], grad_cap=a[7])
 
 
-def make_train_step(cfg: MVSDFConfig, phase_idx: int,
-                    mesh: Optional[jax.sharding.Mesh] = None,
-                    donate: bool = True):
-    """Returns a jitted step(state, batch, weights_arr, key) -> (state,
-    metrics). ``weights_arr`` from weights_to_array(schedule.weights(tp))."""
+def make_step_body(cfg: MVSDFConfig, phase_idx: int,
+                   mesh: Optional[jax.sharding.Mesh] = None):
+    """The pure (un-jitted) step body step(state, batch, weights_arr, key)
+    -> (state, metrics), shared by the per-call jit path (make_train_step)
+    and the fused multi-epoch scan path (make_scan_train_step)."""
     gates = cfg.schedule.gates_for_phase(phase_idx)
     sched = cfg.schedule
     adam, lr_for_epoch = make_optimizer(cfg)
@@ -100,10 +100,13 @@ def make_train_step(cfg: MVSDFConfig, phase_idx: int,
                 # 7-d quat+trans pose per batch image (ref idr_train:263)
                 inputs = dict(batch)
                 inputs["pose"] = pose_vecs[batch["indices"]]
-            out = render_forward(cfg.model, params, inputs, training=True,
-                                 gates=gates, key=key, mesh=mesh)
+            with jax.named_scope("render_forward"):
+                out = render_forward(cfg.model, params, inputs,
+                                     training=True, gates=gates, key=key,
+                                     mesh=mesh)
             gt = {k: batch[k] for k in GT_KEYS}
-            lt = total_loss(out, gt, gates, sched, weights)
+            with jax.named_scope("loss"):
+                lt = total_loss(out, gt, gates, sched, weights)
             return lt.loss, (lt, out.network_object_mask)
 
         if train_cameras:
@@ -145,6 +148,16 @@ def make_train_step(cfg: MVSDFConfig, phase_idx: int,
         return TrainState(params, opt_state, state.epoch, pose_vecs,
                           cam_opt), metrics
 
+    return step
+
+
+def make_train_step(cfg: MVSDFConfig, phase_idx: int,
+                    mesh: Optional[jax.sharding.Mesh] = None,
+                    donate: bool = True):
+    """Returns a jitted step(state, batch, weights_arr, key) -> (state,
+    metrics). ``weights_arr`` from weights_to_array(schedule.weights(tp))."""
+    step = make_step_body(cfg, phase_idx, mesh=mesh)
+
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -165,6 +178,34 @@ def make_train_step(cfg: MVSDFConfig, phase_idx: int,
         return state_holder["fn"](state, batch, weights_arr, key)
 
     return wrapper
+
+
+def make_scan_train_step(cfg: MVSDFConfig, phase_idx: int, cache,
+                         mesh: Optional[jax.sharding.Mesh] = None,
+                         donate: bool = True):
+    """Fused multi-step dispatch: one jitted program runs K optimizer steps
+    via ``lax.scan``, gathering each step's batch in-graph from the
+    device-resident scene cache (train/device_data.py). Replaces the
+    reference's per-step host loop (ref idr_train.py:253-315) with a single
+    device program per chunk: no host batch assembly, no per-step sync, no
+    re-upload of depth/feature tensors.
+
+    Returns fn(state, indices (K,B), sel (K,P), weights (K,8), epochs (K,),
+    keys (K,) PRNG keys) -> (state, metrics stacked over K).
+    """
+    body = make_step_body(cfg, phase_idx, mesh=mesh)
+
+    def scan_step(state: TrainState, indices, sel, weights, epochs, keys):
+        def one(st, xs):
+            idx, s, w, ep, key = xs
+            st = st._replace(epoch=ep)
+            batch = cache.gather(idx, s, mesh=mesh)
+            return body(st, batch, w, key)
+
+        return jax.lax.scan(one, state,
+                            (indices, sel, weights, epochs, keys))
+
+    return jax.jit(scan_step, donate_argnums=(0,) if donate else ())
 
 
 def init_train_state(cfg: MVSDFConfig, seed: int = 0,

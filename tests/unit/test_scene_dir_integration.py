@@ -84,7 +84,7 @@ def scene_dir(tmp_path_factory):
 
 
 def test_scene_data_loads(scene_dir):
-    sd = SceneData(scene_dir)
+    sd = SceneData(scene_dir, allow_random_features=True)
     assert sd.n_images == 3
     assert sd.img_res == (32, 32)
     assert sd.depths.shape == (3, 1, 16, 16)
@@ -108,7 +108,7 @@ def test_trainer_runs_on_disk_scene(scene_dir, tmp_path):
     from mvsdf_tpu.tracing.sphere_trace import TracerConfig
     from mvsdf_tpu.train.loop import Trainer
 
-    sd = SceneData(scene_dir)
+    sd = SceneData(scene_dir, allow_random_features=True)
     cfg = MVSDFConfig(
         model=ModelConfig(
             implicit=ImplicitConfig(feature_vector_size=32, dims=(32,) * 2,
@@ -147,7 +147,7 @@ def test_camera_opt_checkpoint_roundtrip_and_accuracy(scene_dir, tmp_path):
     from mvsdf_tpu.geometry.cameras import quat_to_rot
     from mvsdf_tpu.eval.cameras import camera_accuracy
 
-    sd = SceneData(scene_dir)
+    sd = SceneData(scene_dir, allow_random_features=True)
     cfg = MVSDFConfig(
         model=ModelConfig(
             implicit=ImplicitConfig(feature_vector_size=32, dims=(32,) * 2,
