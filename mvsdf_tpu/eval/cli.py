@@ -50,6 +50,19 @@ def main(argv=None):
                     help="force a jax platform (e.g. cpu)")
     ap.add_argument("--conf", default="",
                     help="HOCON config matching the trained checkpoint")
+    ap.add_argument("--dtu_stl", default="",
+                    help="official-protocol DTU chamfer: path to the scan's "
+                         "ground-truth STL point cloud (.ply); evaluates "
+                         "the extracted world-coordinates mesh")
+    ap.add_argument("--dtu_obsmask", default="",
+                    help="ObsMask<scan>_10.mat for the observability-grid "
+                         "crop (optional but required for protocol parity)")
+    ap.add_argument("--dtu_plane", default="",
+                    help="Plane<scan>.mat ground-plane filter for "
+                         "completeness (optional)")
+    ap.add_argument("--dtu_max_dist", type=float, default=20.0)
+    ap.add_argument("--dtu_downsample", type=float, default=0.2,
+                    help="densify/downsample density in mm")
     args = ap.parse_args(argv)
 
     import jax
@@ -173,6 +186,30 @@ def main(argv=None):
                                f"surface_world_coordinates_{epoch}.obj")
         save_obj(out_obj, verts, faces, colors)
         print(f"mesh: {len(verts)} verts {len(faces)} faces -> {out_obj}")
+
+        # --- official DTU protocol chamfer (ref README.md:78-79) ---------
+        if args.dtu_stl:
+            from ..data.convert import load_ply_points
+            from .dtu_eval import (dtu_official_eval_mesh, load_obs_mask,
+                                   load_ground_plane)
+            stl = load_ply_points(args.dtu_stl)
+            mask_kw = {}
+            if args.dtu_obsmask:
+                m, bb, res = load_obs_mask(args.dtu_obsmask)
+                mask_kw.update(obs_mask=m, bb=bb, res=res)
+            if args.dtu_plane:
+                mask_kw.update(
+                    ground_plane=load_ground_plane(args.dtu_plane))
+            dtu = dtu_official_eval_mesh(
+                verts, faces, stl, thresh=args.dtu_downsample,
+                max_dist=args.dtu_max_dist, **mask_kw)
+            msg = (f"DTU EVALUATION {args.expname}: accuracy = "
+                   f"{dtu['accuracy']:.4f} ; completeness = "
+                   f"{dtu['completeness']:.4f} ; overall = "
+                   f"{dtu['overall']:.4f}")
+            print(msg)
+            with open(os.path.join(evaldir, "chamfer.txt"), "w") as f:
+                f.write(msg + "\n")
 
     # --- rendering eval (ref eval.py:127-185) ----------------------------
     if args.eval_rendering:

@@ -268,6 +268,12 @@ class Trainer:
         if len(faces):
             save_obj(os.path.join(self.plots_dir,
                                   f"surface_{epoch}.obj"), verts, faces)
+            # scene snapshot: surface + camera cones (the reference's
+            # plotly scene plot, ref plots.py:12-65)
+            from ..eval.plots import plot_scene_snapshot
+            plot_scene_snapshot(
+                os.path.join(self.plots_dir, f"scene_{epoch}.png"),
+                verts, faces, poses=self.scene.poses)
 
         if full:
             from ..rendering import render_forward
