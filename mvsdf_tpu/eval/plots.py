@@ -115,7 +115,8 @@ def plot_scene_snapshot(path, verts, faces, poses=None, face_colors=None,
             # shade by face normal against a fixed light for depth cueing
             n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
             n = n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
-            lum = 0.4 + 0.6 * np.abs(n @ np.array([0.4, 0.5, 0.77]))
+            lum = np.clip(0.4 + 0.6 * np.abs(n @ np.array([0.4, 0.5,
+                                                           0.77])), 0, 1)
             pc.set_facecolor(np.stack([lum * 0.6, lum * 0.7, lum], -1))
         ax.add_collection3d(pc)
     if points is not None and len(points):

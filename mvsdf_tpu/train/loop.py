@@ -159,7 +159,7 @@ class Trainer:
         nepochs = cfg.train.nepochs
         phase0 = cfg.schedule.phase_index(e0 / nepochs)
         e = e0
-        cap = e0 + max(1, cfg.train.epochs_per_dispatch) - 1
+        cap = e0 + self._dispatch_epochs() - 1
         while e < min(cap, nepochs):
             if e % self.plot_freq == 0 and e != 0:
                 break  # e is a save epoch: checkpoint state/RNG must be
@@ -170,8 +170,16 @@ class Trainer:
             e = nxt
         return e
 
+    def _dispatch_epochs(self) -> int:
+        """Fixed epochs-per-dispatch: the compile-once pad size. plot_freq
+        + 1 bounds the longest possible chunk (a chunk from 0 runs to the
+        first boundary inclusive), so padding never exceeds it."""
+        return max(1, min(self.cfg.train.epochs_per_dispatch,
+                          self.plot_freq + 1))
+
     def _train_chunk(self, e0: int, e1: int):
-        """Run epochs [e0, e1] in one dispatch. Host RNG draws follow the
+        """Run epochs [e0, e1] in one dispatch, padded to the fixed
+        dispatch size with inactive no-op steps. Host RNG draws follow the
         exact stream order of the per-epoch path (sel, image order, then
         one key split per batch) so both paths are interchangeable."""
         cfg = self.cfg
@@ -195,11 +203,24 @@ class Trainer:
                 ep_rows.append(epoch)
                 key_rows.append(np.asarray(k))
 
+        n_real = len(ep_rows)
+        spe = n_real // (e1 + 1 - e0)  # steps per epoch
+        k_rows = self._dispatch_epochs() * spe
+        active = np.zeros(k_rows, bool)
+        active[:n_real] = True
+        while len(ep_rows) < k_rows:  # pad with inactive copies
+            idx_rows.append(idx_rows[-1])
+            sel_rows.append(sel_rows[-1])
+            w_rows.append(w_rows[-1])
+            ep_rows.append(ep_rows[-1])
+            key_rows.append(key_rows[-1])
+
         args = (jnp.asarray(np.stack(idx_rows)),
                 jnp.asarray(np.stack(sel_rows)),
                 jnp.asarray(np.stack(w_rows)),
                 jnp.asarray(np.asarray(ep_rows, np.int32)),
-                jnp.asarray(np.stack(key_rows)))
+                jnp.asarray(np.stack(key_rows)),
+                jnp.asarray(active))
         if self.mesh is not None:
             # replicated placement for the tiny control arrays and (no-op
             # when already resident) the state
@@ -209,10 +230,10 @@ class Trainer:
         t_dispatch = time.perf_counter()
         with annotate(f"train_chunk[{e0}:{e1}]"):
             self.state, metrics = scan(self.state, *args)
-        n_rays = len(ep_rows) * B * P
+        n_rays = n_real * B * P
         self._flush_metrics()
-        self._pending = (list(range(e0, e1 + 1)), len(ep_rows) // max(
-            1, e1 + 1 - e0), metrics, n_rays, t_dispatch)
+        self._pending = (list(range(e0, e1 + 1)), spe, metrics, n_rays,
+                         t_dispatch)
 
     def _flush_metrics(self):
         """Fetch + log the previous chunk's metrics (device is already

@@ -191,19 +191,26 @@ def make_scan_train_step(cfg: MVSDFConfig, phase_idx: int, cache,
     re-upload of depth/feature tensors.
 
     Returns fn(state, indices (K,B), sel (K,P), weights (K,8), epochs (K,),
-    keys (K,) PRNG keys) -> (state, metrics stacked over K).
+    keys (K,) PRNG keys, active (K,) bool) -> (state, metrics stacked over
+    K). K is FIXED per compiled program: shorter chunks (checkpoint/phase
+    boundaries) are padded with active=False rows, whose steps run but
+    leave the state untouched — one compile per phase instead of one per
+    distinct chunk length.
     """
     body = make_step_body(cfg, phase_idx, mesh=mesh)
 
-    def scan_step(state: TrainState, indices, sel, weights, epochs, keys):
+    def scan_step(state: TrainState, indices, sel, weights, epochs, keys,
+                  active):
         def one(st, xs):
-            idx, s, w, ep, key = xs
-            st = st._replace(epoch=ep)
+            idx, s, w, ep, key, act = xs
             batch = cache.gather(idx, s, mesh=mesh)
-            return body(st, batch, w, key)
+            new_st, metrics = body(st._replace(epoch=ep), batch, w, key)
+            st_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(act, a, b), new_st, st)
+            return st_out, metrics
 
         return jax.lax.scan(one, state,
-                            (indices, sel, weights, epochs, keys))
+                            (indices, sel, weights, epochs, keys, active))
 
     return jax.jit(scan_step, donate_argnums=(0,) if donate else ())
 
