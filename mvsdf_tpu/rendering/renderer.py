@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, Gates
-from ..fields.sdf import (implicit_apply, sdf_apply, sdf_grad,
-                          full_value_and_grad, sdf_value_and_grad)
+from ..fields.sdf import implicit_apply, sdf_apply, full_value_and_grad
 from ..fields.radiance import render_apply
 from ..geometry.cameras import get_camera_params
 from ..geometry import projections as proj
@@ -206,23 +205,12 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
     # Recompute points from dists so camera grads could flow (ref :200).
     points = org + dists[..., None] * ray_dirs
 
-    if training:
-        # one linearized forward yields both the (B,P,2+F) outputs and the
-        # rt_surf spatial gradients
-        full_out, g_rt = full_value_and_grad(icfg, params["implicit"],
-                                             points)
-    else:
-        full_out = implicit_apply(icfg, params["implicit"], points)
-        g_rt = None
-    sdf_output = full_out[..., 0]
-
     groups = None
     surf_logits_pos = surf_logits_pos_mask = surf_logits_neg = None
 
     if training:
         surface_mask = net_obj_mask & object_mask
         r = tcfg.object_bounding_sphere
-        n_eik = (B * P) // 2
 
         if noise and "eik_points" in noise:
             eik_pts = noise["eik_points"].reshape(B, P // 2, 3)
@@ -231,10 +219,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             eik_pts = jax.random.uniform(k_eik, (B, P // 2, 3),
                                          minval=-r, maxval=r)
 
-        group_list = [("rt_surf", points, surface_mask.astype(jnp.float32))]
-        eik_out, g_eik = full_value_and_grad(icfg, params["implicit"],
-                                             eik_pts)
-        group_list.append(("eik", eik_pts, jnp.ones((B, P // 2))))
+        group_list = [("rt_surf", points, surface_mask.astype(jnp.float32)),
+                      ("eik", eik_pts, jnp.ones((B, P // 2)))]
 
         if gates.use_dsurf:
             key, k_ds = jax.random.split(key)
@@ -245,17 +231,26 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             group_list.append(("dsurf_jitter", ji_pts.reshape(B, P // 2, 3),
                                ji_ok.reshape(B, P // 2).astype(jnp.float32)))
 
+        # ONE batched linearized forward for every sample group (the
+        # reference runs them as separate MLP calls, ref :256,275): groups
+        # are concatenated along the ray axis — per-row results are
+        # identical, and on TPU one large matmul chain beats 2-4 small
+        # ones in both launches and MXU utilization.
+        widths = [p.shape[1] for _, p, _ in group_list]
+        all_pts = jnp.concatenate([p for _, p, _ in group_list], axis=1)
+        all_out, all_g = full_value_and_grad(icfg, params["implicit"],
+                                             all_pts)
         groups = {}
-        for name, pts, mask in group_list:
-            if name == "rt_surf":
-                sdf_vals, g = sdf_output, g_rt
-            elif name == "eik":
-                sdf_vals, g = eik_out[..., 0], g_eik
-            else:
-                sdf_vals, g = sdf_value_and_grad(icfg, params["implicit"],
-                                                 pts)
-            groups[name] = {"points": pts, "sdf": sdf_vals, "grad": g,
-                            "mask": mask}
+        off = 0
+        for (name, pts, mask), wdt in zip(group_list, widths):
+            sl = slice(off, off + wdt)
+            groups[name] = {"points": pts, "sdf": all_out[:, sl, 0],
+                            "grad": all_g[:, sl], "mask": mask}
+            off += wdt
+        full_out = all_out[:, :P]
+        g_rt = all_g[:, :P]
+        eik_out = all_out[:, P:P + P // 2]
+        sdf_output = full_out[..., 0]
 
         # Surface-indicator logits (ref :272): traced hits inside the true
         # mask are label-1, eik random points label-0.
@@ -270,6 +265,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             dists, org, ray_dirs, valid_mask=surface_mask,
             min_dot=cfg.implicit_diff_min_dot)
     else:
+        full_out = implicit_apply(icfg, params["implicit"], points)
+        sdf_output = full_out[..., 0]
         surface_mask = net_obj_mask
         diff_surf_pts = points
 

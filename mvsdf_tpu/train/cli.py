@@ -46,6 +46,11 @@ def main(argv=None):
                     help="capture a jax.profiler trace of the first "
                          "--profile_epochs epochs into this directory")
     ap.add_argument("--profile_epochs", type=int, default=0)
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused Pallas SDF kernels for the no-grad trace "
+                         "plus fallback-stage compaction (single-process; "
+                         "TPU only). The supervised re-evaluation stays "
+                         "full-f32 either way.")
     ap.add_argument("--allow_random_features", action="store_true",
                     help="proceed with RANDOM FeatExt CNN weights when the "
                          "pretrained VisMVSNet checkpoint "
@@ -80,6 +85,17 @@ def main(argv=None):
             train_cameras=args.train_cameras,
             fused_dispatch=not args.no_fused,
             epochs_per_dispatch=args.epochs_per_dispatch))
+
+    if args.pallas:
+        # compaction: fallback sampler / min-SDF fill gather only active
+        # rays (exact; dense branch on overflow). Per-device-legal under
+        # shard_map_trace on a mesh; plain single-chip otherwise.
+        tr = dataclasses.replace(cfg.model.tracer,
+                                 sampler_capacity_frac=0.25,
+                                 fill_capacity_frac=0.5)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, use_pallas_trace=True, shard_map_trace=True,
+            tracer=tr))
 
     exp_base = os.path.join(args.exps_folder, args.expname)
     if args.is_continue and args.timestamp == "latest" and \
