@@ -40,8 +40,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # bf16x3 matmuls: near-f32 quality at ~3x the f32 MXU rate.
-    jax.config.update("jax_default_matmul_precision", "tensorfloat32")
+    # DEFAULT = single-pass bf16 multiplies with f32 accumulation: the
+    # 600-epoch quality study (PERF.md) shows chamfer/PSNR equal-or-better
+    # than tensorfloat32, at +9% step throughput. Override via
+    # MVSDF_BENCH_PRECISION=tensorfloat32|highest.
+    jax.config.update("jax_default_matmul_precision",
+                      os.environ.get("MVSDF_BENCH_PRECISION", "default"))
 
     # The first compile in a process pays a large fixed backend-init cost on
     # the tunneled TPU; absorb it on a trivial program.
@@ -62,16 +66,18 @@ def main():
         # fused VMEM-resident SDF kernel for the no-grad trace phase
         march = os.environ.get("MVSDF_BENCH_MARCH", "0") == "1"
         inkpe = os.environ.get("MVSDF_BENCH_INKPE", "0") == "1"
+        secant = os.environ.get("MVSDF_BENCH_SECANT", "1") == "1"
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, use_pallas_march=march,
-            pallas_in_kernel_pe=inkpe))
+            pallas_in_kernel_pe=inkpe, use_pallas_secant=secant))
         _progress(f"pallas trace kernel: on (fused march: {march}, "
-                  f"in-kernel PE: {inkpe})")
+                  f"in-kernel PE: {inkpe}, fused secant: {secant})")
     if os.environ.get("MVSDF_BENCH_COMPACT", "1") == "1":
         # fallback-stage compaction (exact; dense branch on overflow)
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
-                                 fill_capacity_frac=0.5)
+                                 fill_capacity_frac=0.5,
+                                 fallback_capacity_frac=0.5)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
         _progress("fallback compaction: on")

@@ -143,6 +143,10 @@ class ModelConfig:
     use_pallas_trace: bool = False
     # Fuse the whole march loop into one kernel (requires use_pallas_trace).
     use_pallas_march: bool = False
+    # Fuse the 8-step secant refinement into one kernel (requires
+    # use_pallas_trace): bracket state in VMEM scratch, one launch instead
+    # of n_secant_steps sequential MLP launches.
+    use_pallas_secant: bool = False
     pallas_block: int = 1024
     pallas_march_block: int = 512
     pallas_interpret: bool = False

@@ -116,6 +116,7 @@ def _frozen_trace(cfg: ModelConfig, params_sg, org, dirs, object_mask,
     """The no-grad trace on frozen params, optionally via Pallas kernels."""
     icfg, tcfg = cfg.implicit, cfg.tracer
     march_fn = None
+    secant_fn = None
     if cfg.use_pallas_trace:
         from ..tracing.pallas import pack_sdf_weights, pallas_sdf_apply
         packed = pack_sdf_weights(icfg, params_sg["implicit"])
@@ -129,11 +130,16 @@ def _frozen_trace(cfg: ModelConfig, params_sg, org, dirs, object_mask,
                 tcfg, icfg, packed, o, d, mi, tn, tf,
                 block=cfg.pallas_march_block,
                 interpret=cfg.pallas_interpret)
+        if cfg.use_pallas_secant:
+            from ..tracing.pallas.secant_kernel import pallas_secant
+            secant_fn = lambda o, d, zl, zh, sl, sh: pallas_secant(
+                tcfg, icfg, packed, o, d, zl, zh, sl, sh,
+                block=cfg.pallas_block, interpret=cfg.pallas_interpret)
     else:
         sdf_frozen = lambda x: sdf_apply(icfg, params_sg["implicit"], x)
     return trace_rays(tcfg, sdf_frozen, org, dirs, object_mask,
                       training=training, minimal_steps=min_steps,
-                      march_fn=march_fn)
+                      march_fn=march_fn, secant_fn=secant_fn)
 
 
 def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,

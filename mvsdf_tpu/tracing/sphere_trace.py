@@ -51,9 +51,16 @@ class TracerConfig:
     # process this fraction of rays (gathered by mask) when the active count
     # fits; otherwise a dense branch runs (exact in both cases). 1.0 = always
     # dense (the reference-parity default). Single-chip optimization: the
-    # gather crosses shard boundaries, so leave at 1.0 on multi-chip meshes.
+    # gather crosses shard boundaries, so leave at 1.0 on multi-chip meshes
+    # (or run the trace under shard_map, where compaction is per-device).
     sampler_capacity_frac: float = 1.0
     fill_capacity_frac: float = 1.0
+    # Unified fallback (training only): the sampler rays (march unfinished)
+    # and the min-SDF fill rays (misses) are DISJOINT, so one compacted
+    # n_steps-sample evaluation serves both — per-ray step patterns select
+    # uniform-linspace (sampler) vs random-stratified (fill) rows. Replaces
+    # the two separate stages when > 0; exact either way.
+    fallback_capacity_frac: float = 0.0
 
 
 class TraceResult(NamedTuple):
@@ -166,7 +173,7 @@ def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
 
 
 def _ray_sampler(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
-                 t_min, t_max, training: bool):
+                 t_min, t_max, training: bool, secant_fn=None):
     """Uniform interval sampling + secant (ref ray_tracing.py:198-278),
     dense over all rays; callers merge via sampler_mask.
 
@@ -177,7 +184,16 @@ def _ray_sampler(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     ts = t_min[..., None] + steps.reshape(shp) * (t_max - t_min)[..., None]
     pts = org[..., None, :] + ts[..., None] * dirs[..., None, :]
     sdf_val = _eval_samples(cfg, sdf_fn, pts)        # (L..., S)
+    return _sampler_logic(cfg, sdf_fn, org, dirs, object_mask, ts, pts,
+                          sdf_val, training, secant_fn=secant_fn)
 
+
+def _sampler_logic(cfg: TracerConfig, sdf_fn, org, dirs, object_mask, ts,
+                   pts, sdf_val, training: bool, secant_fn=None):
+    """Sampler post-processing on precomputed samples: first sign crossing,
+    min-SDF fallback, secant (ref ray_tracing.py:221-256)."""
+    S = cfg.n_steps
+    shp = (1,) * (ts.ndim - 1) + (S,)
     # First sign transition: argmin of sign(sdf) * [S..1] returns the first
     # negative sample (ref :221-222).
     weight = jnp.arange(S, 0, -1, dtype=sdf_val.dtype).reshape(shp)
@@ -199,7 +215,11 @@ def _ray_sampler(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     ind_lo = (ind - 1) % S  # torch negative indexing wraps (ref :248)
     z_low = _take(ts, ind_lo)
     sdf_low = _take(sdf_val, ind_lo)
-    z_pred = _secant(cfg, sdf_fn, org, dirs, z_low, z_high, sdf_low, sdf_high)
+    if secant_fn is None:
+        z_pred = _secant(cfg, sdf_fn, org, dirs, z_low, z_high, sdf_low,
+                         sdf_high)
+    else:
+        z_pred = secant_fn(org, dirs, z_low, z_high, sdf_low, sdf_high)
     d = jnp.where(secant_sel, z_pred, d)
     p = jnp.where(secant_sel[..., None], org + z_pred[..., None] * dirs, p)
     return p, net_surface, d
@@ -247,6 +267,34 @@ def _minimal_sdf_points(cfg: TracerConfig, sdf_fn, org, dirs, t_min, t_max,
     return _take(pts, idx), _take(ts, idx)
 
 
+def _unified_fallback(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
+                      is_smp, t_lo, t_hi, steps01, training: bool,
+                      secant_fn=None):
+    """One n_steps-sample evaluation serving BOTH fallback stages: sampler
+    rows (is_smp) use the uniform linspace steps (ref ray_tracing.py:213),
+    fill rows the shared random stratified steps (ref :287). Per-row results
+    are identical to the separate stages — the only difference is that the
+    SDF MLP runs once over the union instead of once per stage.
+
+    Returns (points (R, 3), net_surface (R,), dists (R,))."""
+    S = cfg.n_steps
+    lin = jnp.linspace(0.0, 1.0, S)
+    steps = jnp.where(is_smp[..., None], lin[None, :], steps01[None, :])
+    ts = t_lo[..., None] + steps * (t_hi - t_lo)[..., None]
+    pts = org[..., None, :] + ts[..., None] * dirs[..., None, :]
+    sdf_val = _eval_samples(cfg, sdf_fn, pts)
+
+    smp_p, smp_net, smp_d = _sampler_logic(
+        cfg, sdf_fn, org, dirs, object_mask, ts, pts, sdf_val, training,
+        secant_fn=secant_fn)
+    idx = jnp.argmin(sdf_val, axis=-1)
+    mn_p, mn_d = _take(pts, idx), _take(ts, idx)
+
+    p = jnp.where(is_smp[..., None], smp_p, mn_p)
+    d = jnp.where(is_smp, smp_d, mn_d)
+    return p, smp_net, d
+
+
 def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
     """Run ``fn`` (mapping per-ray input arrays -> tuple of per-ray outputs)
     only on up to ``capacity`` mask-selected rays, scattering results back
@@ -276,7 +324,7 @@ def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
 def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
                training: bool, key: Optional[jax.Array] = None,
                minimal_steps: Optional[jnp.ndarray] = None,
-               march_fn=None) -> TraceResult:
+               march_fn=None, secant_fn=None) -> TraceResult:
     """Full tracing pipeline (ref RayTracing.forward, ray_tracing.py:27-98).
 
     org (L..., 3) per-ray origins; dirs (L..., 3) unit directions;
@@ -312,16 +360,59 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     sampler_mask = unfin_s
     lead = org.shape[:-1]
     R = int(np.prod(lead))
+
+    if training and cfg.fallback_capacity_frac > 0:
+        # --- unified fallback: sampler + min-SDF fill in ONE compacted
+        # n_steps-sample evaluation (the two ray sets are disjoint; the
+        # fill's mask algebra only reads pre-sampler march state on
+        # non-sampler rays, so it is computable here). ---
+        in_mask = ~net_obj_mask & object_mask & ~sampler_mask
+        out_mask = ~object_mask & ~sampler_mask
+        left_out = (in_mask | out_mask) & ~mask_intersect
+        fill = (in_mask | out_mask) & mask_intersect
+        min_dis = jnp.where(net_obj_mask & out_mask, dists, min_dis)
+        if minimal_steps is None:
+            if key is None:
+                raise ValueError("training trace needs key or minimal_steps")
+            minimal_steps = jax.random.uniform(key, (cfg.n_steps,))
+
+        active = sampler_mask | fill
+        t_lo = jnp.where(sampler_mask, t_s, min_dis)
+        t_hi = jnp.where(sampler_mask, t_e, max_dis)
+        cap = max(128, int(R * cfg.fallback_capacity_frac))
+        fn = lambda o, d, m, sm, lo, hi: _unified_fallback(
+            cfg, sdf_fn, o, d, m, sm, lo, hi, minimal_steps, training,
+            secant_fn=secant_fn)
+        u_p, u_net, u_d = _compact_call(
+            fn, active.reshape(R), cap,
+            [org.reshape(R, 3), dirs.reshape(R, 3), object_mask.reshape(R),
+             sampler_mask.reshape(R), t_lo.reshape(R), t_hi.reshape(R)],
+            [jnp.zeros((R, 3)), jnp.zeros((R,), bool), jnp.zeros((R,))])
+        u_p = u_p.reshape(lead + (3,))
+        u_net = u_net.reshape(lead)
+        u_d = u_d.reshape(lead)
+
+        points = jnp.where(active[..., None], u_p, points)
+        dists = jnp.where(active, u_d, dists)
+        net_obj_mask = jnp.where(sampler_mask, u_net, net_obj_mask)
+
+        # Rays missing the sphere: project the origin (ref :79-84).
+        t_proj = -jnp.sum(dirs * org, axis=-1)
+        points = jnp.where(left_out[..., None],
+                           org + t_proj[..., None] * dirs, points)
+        dists = jnp.where(left_out, t_proj, dists)
+        return TraceResult(points, net_obj_mask, dists, sampler_mask,
+                           mask_intersect)
     smp_t_min = jnp.where(sampler_mask, t_s, 0.0)
     smp_t_max = jnp.where(sampler_mask, t_e, 0.0)
     if cfg.sampler_capacity_frac >= 1.0:
         smp_pts, smp_net, smp_d = _ray_sampler(
             cfg, sdf_fn, org, dirs, object_mask, smp_t_min, smp_t_max,
-            training)
+            training, secant_fn=secant_fn)
     else:
         cap = max(128, int(R * cfg.sampler_capacity_frac))
         fn = lambda o, d, m, lo, hi: _ray_sampler(
-            cfg, sdf_fn, o, d, m, lo, hi, training)
+            cfg, sdf_fn, o, d, m, lo, hi, training, secant_fn=secant_fn)
         smp_pts, smp_net, smp_d = _compact_call(
             fn, sampler_mask.reshape(R), cap,
             [org.reshape(R, 3), dirs.reshape(R, 3),

@@ -29,8 +29,11 @@ def main(argv=None):
                     help="disable multi-device sharding")
     ap.add_argument("--train_cameras", action="store_true",
                     help="jointly optimize per-image camera poses")
-    ap.add_argument("--matmul_precision", default="tensorfloat32",
-                    choices=["default", "tensorfloat32", "highest"])
+    ap.add_argument("--matmul_precision", default="default",
+                    choices=["default", "tensorfloat32", "highest"],
+                    help="XLA matmul precision; 'default' (bf16 inputs, "
+                         "f32 accumulate) matches tf32 quality on the "
+                         "600-epoch study (PERF.md) at +9%% throughput")
     ap.add_argument("--conf", default="",
                     help="HOCON config (reference mvsdf_dtu.conf format); "
                          "defaults to the built-in full-size architecture")
@@ -92,7 +95,8 @@ def main(argv=None):
         # shard_map_trace on a mesh; plain single-chip otherwise.
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
-                                 fill_capacity_frac=0.5)
+                                 fill_capacity_frac=0.5,
+                                 fallback_capacity_frac=0.5)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, shard_map_trace=True,
             tracer=tr))

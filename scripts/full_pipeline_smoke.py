@@ -35,7 +35,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_default_matmul_precision", "tensorfloat32")
+    jax.config.update("jax_default_matmul_precision", "default")
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "..", ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))

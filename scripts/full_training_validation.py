@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--platform", default="")
     ap.add_argument("--no_pallas", action="store_true")
     ap.add_argument("--n_pix", type=int, default=4096)
+    ap.add_argument("--precision", default="default",
+                    choices=["default", "tensorfloat32", "highest"],
+                    help="XLA matmul precision for the supervised path "
+                         "(the Pallas trace kernel is bf16 regardless)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/mvsdf_validation")
     args = ap.parse_args()
@@ -37,7 +41,7 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
-    jax.config.update("jax_default_matmul_precision", "tensorfloat32")
+    jax.config.update("jax_default_matmul_precision", args.precision)
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
 
@@ -65,7 +69,8 @@ def main():
     if not args.no_pallas:
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
-                                 fill_capacity_frac=0.5)
+                                 fill_capacity_frac=0.5,
+                                 fallback_capacity_frac=0.5)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, tracer=tr))
 

@@ -62,6 +62,20 @@ def test_dense_fallback_when_overflow():
     _assert_equal(dense, tiny)
 
 
+def test_unified_fallback_equals_separate_stages():
+    dense = run(TracerConfig())
+    unified = run(dataclasses.replace(TracerConfig(),
+                                      fallback_capacity_frac=0.9))
+    _assert_equal(dense, unified)
+
+
+def test_unified_fallback_dense_branch_on_overflow():
+    dense = run(TracerConfig())
+    tiny = run(dataclasses.replace(TracerConfig(),
+                                   fallback_capacity_frac=0.001))
+    _assert_equal(dense, tiny)
+
+
 def test_compact_eval_mode():
     dense = run(TracerConfig(), training=False)
     compact = run(dataclasses.replace(TracerConfig(),
