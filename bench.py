@@ -66,7 +66,7 @@ def main():
         # fused VMEM-resident SDF kernel for the no-grad trace phase
         march = os.environ.get("MVSDF_BENCH_MARCH", "0") == "1"
         inkpe = os.environ.get("MVSDF_BENCH_INKPE", "0") == "1"
-        secant = os.environ.get("MVSDF_BENCH_SECANT", "1") == "1"
+        secant = os.environ.get("MVSDF_BENCH_SECANT", "0") == "1"
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, use_pallas_march=march,
             pallas_in_kernel_pe=inkpe, use_pallas_secant=secant))
