@@ -131,7 +131,14 @@ class ModelConfig:
     # Robustness guard (0 = reference-exact): clamp |grad . dir| away from
     # zero in the implicit-function differentiation so grazing-incidence
     # rays cannot produce unbounded surface-point gradients.
-    implicit_diff_min_dot: float = 0.0
+    # Clamp |grad . dir| in the implicit-diff division away from zero.
+    # The reference divides unguarded (ref sample_network.py:10-20), which
+    # NaNs the whole gradient on grazing rays: at the full 1800-epoch CLI
+    # budget 27% of epochs hit a non-finite gradient with min_dot=0 (the
+    # skip-guard kept training alive but discarded those updates). 1e-2
+    # only alters rays whose implicit gradient is already meaningless.
+    # Parity tests pin 0.0 explicitly.
+    implicit_diff_min_dot: float = 1e-2
     # Run the (no-grad) trace under shard_map on the data mesh: per-device
     # convergence loops and per-device fallback compaction (no global
     # argsort), and the Pallas kernels run per device — the multi-chip-

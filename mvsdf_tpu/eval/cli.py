@@ -186,6 +186,19 @@ def main(argv=None):
                                f"surface_world_coordinates_{epoch}.obj")
         save_obj(out_obj, verts, faces, colors)
         print(f"mesh: {len(verts)} verts {len(faces)} faces -> {out_obj}")
+        # interactive scene artifact (ref plots.py:12-65 emits plotly HTML;
+        # here a self-contained WebGL viewer): mesh w/ indicator colors +
+        # camera cones
+        from .html_viewer import write_scene_html
+        world_poses = np.asarray(scene.poses).copy()
+        world_poses[:, :3, 3] = (world_poses[:, :3, 3]
+                                 @ world[:3, :3].T) + world[:3, 3]
+        world_poses[:, :3, :3] = np.einsum(
+            "ij,njk->nik", world[:3, :3], world_poses[:, :3, :3])
+        out_html = os.path.join(evaldir, f"scene_{epoch}.html")
+        write_scene_html(out_html, verts, faces, poses=world_poses,
+                         vert_colors=colors, title=args.expname)
+        print(f"interactive scene -> {out_html}")
 
         # --- official DTU protocol chamfer (ref README.md:78-79) ---------
         if args.dtu_stl:

@@ -295,6 +295,31 @@ def _unified_fallback(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     return p, smp_net, d
 
 
+def auto_fallback_capacity(object_frac: float, sampler_margin: float = 0.30,
+                           granularity: float = 1 / 16) -> float:
+    """Scene-aware capacity for the unified fallback stage.
+
+    The fallback's active set is (march-unfinished rays) ∪ (every
+    out-of-object-mask ray that intersects the bounding sphere) — the
+    reference evaluates exactly this set by boolean indexing
+    (ref ray_tracing.py:44-94). The out-of-mask part is STATIC per scene
+    (1 - object_frac of rays, nearly all of which hit the bounding
+    sphere), so a fixed capacity below it guarantees the dense overflow
+    branch every step: the round-2 capstone scene (object_frac 0.38) ran
+    active=0.84 against capacity 0.5 and paid dense 100-sample evals on
+    all rays. Size the capacity as out-of-mask + a march-unfinished
+    margin, rounded up for shape stability; >= 0.9 collapses to 1.0
+    (pure dense, no gather — a near-full gather costs more than it saves).
+
+    object_frac: mean of the scene's object masks over all images/pixels.
+    """
+    frac = (1.0 - object_frac) + sampler_margin
+    frac = np.ceil(frac / granularity) * granularity
+    if frac >= 0.9:
+        return 1.0
+    return float(max(frac, granularity))
+
+
 def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
     """Run ``fn`` (mapping per-ray input arrays -> tuple of per-ray outputs)
     only on up to ``capacity`` mask-selected rays, scattering results back
@@ -305,6 +330,11 @@ def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
     output shapes/dtypes ((R, ...) each).
     """
     R = mask.shape[0]
+    if capacity >= R:
+        # capacity covers every ray: run dense directly, no gather/scatter
+        # or cond (scenes whose mask stats make compaction pointless —
+        # see auto_fallback_capacity)
+        return tuple(fn(*per_ray_inputs))
     count = jnp.sum(mask)
 
     def dense(_):

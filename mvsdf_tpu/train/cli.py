@@ -10,6 +10,8 @@ import argparse
 import os
 from datetime import datetime
 
+import numpy as np
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="mvsdf-tpu per-scene training")
@@ -89,18 +91,6 @@ def main(argv=None):
             fused_dispatch=not args.no_fused,
             epochs_per_dispatch=args.epochs_per_dispatch))
 
-    if args.pallas:
-        # compaction: fallback sampler / min-SDF fill gather only active
-        # rays (exact; dense branch on overflow). Per-device-legal under
-        # shard_map_trace on a mesh; plain single-chip otherwise.
-        tr = dataclasses.replace(cfg.model.tracer,
-                                 sampler_capacity_frac=0.25,
-                                 fill_capacity_frac=0.5,
-                                 fallback_capacity_frac=0.5)
-        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, use_pallas_trace=True, shard_map_trace=True,
-            tracer=tr))
-
     exp_base = os.path.join(args.exps_folder, args.expname)
     if args.is_continue and args.timestamp == "latest" and \
             os.path.isdir(exp_base):
@@ -116,6 +106,30 @@ def main(argv=None):
 
     scene = SceneData(args.data_dir,
                       allow_random_features=args.allow_random_features)
+
+    if args.pallas:
+        # Fused Pallas SDF kernels + unified-fallback compaction. The
+        # capacity is sized from the scene's mask statistics: every
+        # out-of-mask ray takes the fallback (ref ray_tracing.py:86-94),
+        # so a capacity below (1 - object_frac) would hit the dense
+        # overflow branch every step. Per-device-legal under
+        # shard_map_trace on a mesh; plain single-chip otherwise.
+        from ..tracing.sphere_trace import auto_fallback_capacity
+        obj_frac = float(np.mean(scene.masks))
+        cap = auto_fallback_capacity(obj_frac)
+        print(f"fallback capacity: {cap:.3f} (object mask frac "
+              f"{obj_frac:.3f})")
+        tr = dataclasses.replace(cfg.model.tracer,
+                                 sampler_capacity_frac=0.25,
+                                 fill_capacity_frac=0.5,
+                                 fallback_capacity_frac=cap)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, use_pallas_trace=True, shard_map_trace=True,
+            # Mosaic kernels need the TPU backend; on cpu (smoke runs)
+            # fall back to interpret mode
+            pallas_interpret=jax.devices()[0].platform == "cpu",
+            tracer=tr))
+
     trainer = Trainer(cfg, scene, exp_dir, use_mesh=not args.no_mesh,
                       profile_dir=args.profile_dir or None,
                       profile_epochs=args.profile_epochs)

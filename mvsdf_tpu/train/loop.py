@@ -290,11 +290,17 @@ class Trainer:
             save_obj(os.path.join(self.plots_dir,
                                   f"surface_{epoch}.obj"), verts, faces)
             # scene snapshot: surface + camera cones (the reference's
-            # plotly scene plot, ref plots.py:12-65)
+            # plotly scene plot, ref plots.py:12-65) — static PNG plus
+            # the interactive HTML artifact
             from ..eval.plots import plot_scene_snapshot
+            from ..eval.html_viewer import write_scene_html
             plot_scene_snapshot(
                 os.path.join(self.plots_dir, f"scene_{epoch}.png"),
                 verts, faces, poses=self.scene.poses)
+            write_scene_html(
+                os.path.join(self.plots_dir, f"scene_{epoch}.html"),
+                verts, faces, poses=self.scene.poses,
+                title=f"epoch {epoch}")
 
         if full:
             from ..rendering import render_forward

@@ -66,16 +66,20 @@ def main():
         learning_rate=5e-5, skip_nonfinite_updates=True))
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, implicit_diff_min_dot=1e-2))
+    print("building coherent scene + features...", flush=True)
+    sc = make_scene_shaded(n=N_VIEWS, n_pix=N_PIX, sphere_radius=RADIUS)
+
     if not args.no_pallas:
+        from mvsdf_tpu.tracing.sphere_trace import auto_fallback_capacity
+        obj_frac = float(np.mean(sc["mask_full"]))
+        cap = auto_fallback_capacity(obj_frac)
+        print(f"fallback capacity: {cap:.3f} (object frac {obj_frac:.3f})")
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
                                  fill_capacity_frac=0.5,
-                                 fallback_capacity_frac=0.5)
+                                 fallback_capacity_frac=cap)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, tracer=tr))
-
-    print("building coherent scene + features...", flush=True)
-    sc = make_scene_shaded(n=N_VIEWS, n_pix=N_PIX, sphere_radius=RADIUS)
     const = {k: jnp.asarray(np.asarray(sc[k])) for k in
              ["intrinsics", "pose", "depths", "depth_cams", "size",
               "center", "feat", "feat_src", "cam", "src_cams"]}

@@ -71,7 +71,8 @@ def setup():
                                 skip_in=(2,), bias=0.6, multires=6),
         render=RenderConfig(feature_vector_size=FEAT, dims=(64, 64),
                             multires_view=4),
-        tracer=TracerConfig())
+        tracer=TracerConfig(),
+        implicit_diff_min_dot=0.0)  # reference divides unguarded
     return ref, model, loss_mod, scene, params, cfg
 
 

@@ -35,7 +35,8 @@ def test_eval_forward_parity():
                                 skip_in=(2,), bias=0.6, multires=6),
         render=RenderConfig(feature_vector_size=FEAT, dims=(64, 64),
                             multires_view=4),
-        tracer=TracerConfig())
+        tracer=TracerConfig(),
+        implicit_diff_min_dot=0.0)  # reference divides unguarded
 
     t = {k: torch.from_numpy(np.asarray(v)) for k, v in scene.items()}
     model_input = {k: t[k] for k in ["uv", "intrinsics", "pose",

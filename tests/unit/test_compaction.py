@@ -69,6 +69,28 @@ def test_unified_fallback_equals_separate_stages():
     _assert_equal(dense, unified)
 
 
+def test_unified_fallback_full_capacity_fast_path():
+    # capacity_frac=1.0 takes the no-gather dense fast path; must still be
+    # exactly the separate-stages result
+    dense = run(TracerConfig())
+    full = run(dataclasses.replace(TracerConfig(),
+                                   fallback_capacity_frac=1.0))
+    _assert_equal(dense, full)
+
+
+def test_auto_fallback_capacity():
+    from mvsdf_tpu.tracing.sphere_trace import auto_fallback_capacity
+    # all-ones masks (no background): margin only
+    assert auto_fallback_capacity(1.0) == 0.3125
+    # DTU-like 40% object coverage: out-of-mask 0.6 + margin -> dense
+    assert auto_fallback_capacity(0.4) == 1.0
+    # round-2 capstone scene stats: active was 0.836 vs old cap 0.5
+    assert auto_fallback_capacity(0.378) == 1.0
+    # monotone in background fraction, never exceeds 1
+    caps = [auto_fallback_capacity(f) for f in (1.0, 0.8, 0.6, 0.4, 0.2)]
+    assert caps == sorted(caps) and max(caps) <= 1.0
+
+
 def test_unified_fallback_dense_branch_on_overflow():
     dense = run(TracerConfig())
     tiny = run(dataclasses.replace(TracerConfig(),
