@@ -81,6 +81,16 @@ def main():
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
         _progress("fallback compaction: on")
+    if os.environ.get("MVSDF_BENCH_MARCH_COMPACT", "1") == "1":
+        # mid-march compaction (exact; dense branch on overflow). Measured
+        # on this fixture: 33% of rays intersect the bounding sphere, 14%
+        # still march after one iteration (scripts/march_decay.py).
+        tr = dataclasses.replace(cfg.model.tracer,
+                                 march_compact_schedule=((0, 0.5),
+                                                         (1, 0.25)))
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, tracer=tr))
+        _progress("march compaction: on")
     scene = make_scene(n_images=N_IMAGES, n_pix=N_PIX, feat_ch=FEAT_CH,
                       img_hw=96, depth_hw=48)
     batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}

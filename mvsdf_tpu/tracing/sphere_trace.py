@@ -29,7 +29,7 @@ Stages (ref line numbers):
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -61,6 +61,17 @@ class TracerConfig:
     # uniform-linspace (sampler) vs random-stratified (fill) rows. Replaces
     # the two separate stages when > 0; exact either way.
     fallback_capacity_frac: float = 0.0
+    # Mid-march compaction: ((start_iter, capacity_frac), ...) splits the
+    # bidirectional march into segments; from ``start_iter`` on, only up to
+    # capacity_frac * R rays (those still marching in either direction) are
+    # evaluated, gathered into a fixed block (dense branch on overflow —
+    # exact either way; converged lanes are frozen by masks and never move,
+    # so excluding them changes nothing). Iterations before the first
+    # start_iter run dense. () = always dense (reference-parity default).
+    # Measured on the bench fixture only 33% of rays intersect the bounding
+    # sphere and 14% are still marching after one iteration — the march is
+    # FLOP-bound, so this is a near-proportional saving (PERF.md).
+    march_compact_schedule: Tuple[Tuple[int, float], ...] = ()
 
 
 class TraceResult(NamedTuple):
@@ -93,34 +104,38 @@ def _take(a, idx):
     return jnp.take_along_axis(a, idx[..., None], axis=-1).squeeze(-1)
 
 
-def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
-                  t_near, t_far):
-    """Bidirectional sphere tracing (ref ray_tracing.py:101-196).
+def _mask_update(unfin2, next2, thr):
+    """Reference loop-top bookkeeping (ray_tracing.py:140-151)."""
+    curr2 = jnp.where(unfin2, next2, 0.0)
+    curr2 = jnp.where(curr2 <= thr, 0.0, curr2)
+    return unfin2 & (curr2 > thr), curr2
 
-    org, dirs: (L..., 3); mask_intersect, t_near, t_far: (L...).
-    Returns (unfinished_start, t_start, t_end).
+
+def _march_iters(cfg: TracerConfig, sdf_fn, org, dirs, unfin2, t2, next2,
+                 i0: int, i1: int, init: bool):
+    """Bidirectional march iterations [i0, i1) on flat (N,)-ray state.
+
+    org, dirs: (N, 3); unfin2, t2, next2: (2, N) — start/end march states
+    stacked on axis 0 so every SDF evaluation (the expensive part) is one
+    doubled-batch call: half the kernel launches, twice the matmul rows.
+    ``init`` additionally computes the pre-loop SDF evaluation at the
+    seeded t values (ref ray_tracing.py:134-138). Converged/inactive lanes
+    are frozen by masks: their t never moves and their next value is
+    masked to 0, so running extra lanes (or extra trips) is a no-op.
     """
     thr = cfg.sdf_threshold
     clip = cfg.dist_clip
-
-    # Start- and end-march states stacked on a new leading axis 0 so every
-    # SDF evaluation (the expensive part) is a single doubled-batch call —
-    # half the kernel launches, twice the matmul rows. Axis 0 is
-    # replicated, so ray-axis sharding is unaffected.
-    org2 = jnp.stack([org, org])          # (2, L..., 3)
+    org2 = jnp.stack([org, org])          # (2, N, 3)
     dirs2 = jnp.stack([dirs, dirs])
-    sign2 = jnp.concatenate(
-        [jnp.ones((1,) + (1,) * mask_intersect.ndim),
-         -jnp.ones((1,) + (1,) * mask_intersect.ndim)])  # (2, 1...)
+    sign2 = jnp.asarray([[1.0], [-1.0]])  # (2, 1)
 
     def eval_masked(t2, m2):
         p = org2 + t2[..., None] * dirs2
         v = jnp.clip(sdf_fn(p), -clip, clip)
         return jnp.where(m2, v, 0.0)
 
-    unfin2 = jnp.stack([mask_intersect, mask_intersect])
-    t2 = jnp.where(unfin2, jnp.stack([t_near, t_far]), 0.0)
-    next2 = eval_masked(t2, unfin2)
+    if init:
+        next2 = eval_masked(t2, unfin2)
 
     def line_search(t2, curr2, next2):
         """Back-stepping line search halving the overshoot (ref :173-191);
@@ -143,19 +158,13 @@ def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
             cond, body, (0, t2, not_proj, next2))
         return t2, next2
 
-    def mask_update(unfin2, next2):
-        """Reference loop-top bookkeeping (ray_tracing.py:140-151)."""
-        curr2 = jnp.where(unfin2, next2, 0.0)
-        curr2 = jnp.where(curr2 <= thr, 0.0, curr2)
-        return unfin2 & (curr2 > thr), curr2
-
     def cond(state):
         i, unfin2, *_ = state
-        return (i < cfg.sphere_tracing_iters) & jnp.any(unfin2)
+        return (i < i1) & jnp.any(unfin2)
 
     def body(state):
         i, unfin2, t2, next2 = state
-        unfin2, curr2 = mask_update(unfin2, next2)
+        unfin2, curr2 = _mask_update(unfin2, next2, thr)
         # March (no-op on lanes that just converged: curr == 0 there, and
         # evals/line-search are masked to their frozen values).
         t2 = t2 + sign2 * curr2
@@ -165,11 +174,76 @@ def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
         return i + 1, unfin2 & ok[None], t2, next2
 
     _, unfin2, t2, next2 = jax.lax.while_loop(
-        cond, body, (0, unfin2, t2, next2))
+        cond, body, (i0, unfin2, t2, next2))
+    return unfin2, t2, next2
+
+
+def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
+                  t_near, t_far):
+    """Bidirectional sphere tracing (ref ray_tracing.py:101-196), optionally
+    with mid-march compaction (cfg.march_compact_schedule): the iteration
+    range is split into segments and later segments gather only the rays
+    still marching into a fixed-capacity block (_compact_call; dense branch
+    on overflow). Exact: frozen lanes never change state, every active ray
+    is inside the gathered set, and the lane-wise update rule is identical,
+    so segment boundaries and compaction are unobservable in the result.
+
+    org, dirs: (L..., 3); mask_intersect, t_near, t_far: (L...).
+    Returns (unfinished_start, t_start, t_end).
+    """
+    lead = mask_intersect.shape
+    R = int(np.prod(lead)) if lead else 1
+    orgf = org.reshape(R, 3)
+    dirsf = dirs.reshape(R, 3)
+    mi = mask_intersect.reshape(R)
+
+    unfin2 = jnp.stack([mi, mi])                      # (2, R)
+    t2 = jnp.where(unfin2,
+                   jnp.stack([t_near.reshape(R), t_far.reshape(R)]), 0.0)
+    next2 = jnp.zeros_like(t2)  # set by the first segment's init eval
+
+    iters = cfg.sphere_tracing_iters
+    sched = [(s, f) for s, f in cfg.march_compact_schedule if s < iters]
+    segments = []                                     # (i0, i1, frac|None)
+    if not sched:
+        segments.append((0, iters, None))
+    else:
+        starts = [s for s, _ in sched]
+        if starts != sorted(starts) or len(set(starts)) != len(starts):
+            raise ValueError(
+                f"march_compact_schedule starts must be strictly "
+                f"increasing: {cfg.march_compact_schedule}")
+        if starts[0] > 0:
+            segments.append((0, starts[0], None))
+        for k, (s, f) in enumerate(sched):
+            e = sched[k + 1][0] if k + 1 < len(sched) else iters
+            segments.append((s, e, f))
+
+    for i0, i1, frac in segments:
+        init = i0 == 0
+        if frac is None or int(R * frac) >= R:
+            unfin2, t2, next2 = _march_iters(
+                cfg, sdf_fn, orgf, dirsf, unfin2, t2, next2, i0, i1, init)
+            continue
+        cap = max(128, int(R * frac))
+        active = mi if init else (unfin2[0] | unfin2[1])
+
+        def seg_fn(o, d, u, tt, nx, i0=i0, i1=i1, init=init):
+            u2, t2c, n2c = _march_iters(cfg, sdf_fn, o, d, u.T, tt.T, nx.T,
+                                        i0, i1, init)
+            return u2.T, t2c.T, n2c.T
+
+        u_o, t_o, n_o = _compact_call(
+            seg_fn, active, cap,
+            [orgf, dirsf, unfin2.T, t2.T, next2.T],
+            [unfin2.T, t2.T, next2.T])
+        unfin2, t2, next2 = u_o.T, t_o.T, n_o.T
+
     # Final bookkeeping-only pass (the reference breaks *after* the mask
     # update at iters == sphere_tracing_iters; ray_tracing.py:153-155).
-    unfin2, _ = mask_update(unfin2, next2)
-    return unfin2[0], t2[0], t2[1]
+    unfin2, _ = _mask_update(unfin2, next2, cfg.sdf_threshold)
+    return (unfin2[0].reshape(lead), t2[0].reshape(lead),
+            t2[1].reshape(lead))
 
 
 def _ray_sampler(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,

@@ -98,6 +98,55 @@ def test_unified_fallback_dense_branch_on_overflow():
     _assert_equal(dense, tiny)
 
 
+def test_march_compact_equals_dense():
+    dense = run(TracerConfig())
+    seg = run(dataclasses.replace(
+        TracerConfig(), march_compact_schedule=((0, 0.9), (2, 0.75))))
+    _assert_equal(dense, seg)
+
+
+def test_march_compact_dense_prefix_segment():
+    # first compaction point mid-march: iterations [0, 3) run dense
+    dense = run(TracerConfig())
+    seg = run(dataclasses.replace(TracerConfig(),
+                                  march_compact_schedule=((3, 0.75),)))
+    _assert_equal(dense, seg)
+
+
+def test_march_compact_overflow_dense_branch():
+    # tiny capacity (floor 128 of 256 rays): overflow -> dense branch
+    dense = run(TracerConfig())
+    tiny = run(dataclasses.replace(TracerConfig(),
+                                   march_compact_schedule=((0, 0.001),)))
+    _assert_equal(dense, tiny)
+
+
+def test_march_compact_eval_mode_and_2d_lead():
+    # (B, P) lead shape exercises the flatten/reshape path
+    org, dirs = scene()
+    om = jnp.ones((256,), bool)
+    steps = jnp.asarray(
+        np.random.default_rng(7).uniform(size=TracerConfig().n_steps),
+        jnp.float32)
+
+    def run2d(cfg):
+        return trace_rays(cfg, torus, org.reshape(4, 64, 3),
+                          dirs.reshape(4, 64, 3), om.reshape(4, 64),
+                          training=True, minimal_steps=steps)
+
+    dense = run2d(TracerConfig())
+    seg = run2d(dataclasses.replace(TracerConfig(),
+                                    march_compact_schedule=((1, 0.6),)))
+    _assert_equal(dense, seg)
+
+
+def test_march_compact_schedule_validation():
+    import pytest
+    with pytest.raises(ValueError, match="strictly increasing"):
+        run(dataclasses.replace(TracerConfig(),
+                                march_compact_schedule=((3, 0.5), (1, 0.5))))
+
+
 def test_compact_eval_mode():
     dense = run(TracerConfig(), training=False)
     compact = run(dataclasses.replace(TracerConfig(),
