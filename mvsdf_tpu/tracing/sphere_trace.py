@@ -394,6 +394,28 @@ def auto_fallback_capacity(object_frac: float, sampler_margin: float = 0.30,
     return float(max(frac, granularity))
 
 
+def auto_march_schedule(object_frac: float, granularity: float = 1 / 16):
+    """Scene-aware mid-march compaction schedule.
+
+    Measured decay profiles (scripts/march_decay.py): object rays converge
+    within ~2 iterations; background (out-of-mask) rays march until their
+    start/end fronts cross, so the late-iteration active fraction tracks
+    the background fraction (capstone scene, bg 0.62: active 0.73 after
+    iter 1, 0.61 after 4, 0.47 after 7). Capacities are background + a
+    convergence margin, rounded up; a segment whose active set overflows
+    just takes the exact dense branch for that segment.
+    """
+    bg = 1.0 - object_frac
+
+    def cap(x):
+        x = np.ceil(x / granularity) * granularity
+        return float(np.clip(x, 2 * granularity, 1.0))
+
+    sched = [(1, cap(bg + 0.25)), (5, cap(bg + 0.05)),
+             (8, cap(0.75 * bg + 0.05))]
+    return tuple((s, f) for s, f in sched if f < 0.95)
+
+
 def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
     """Run ``fn`` (mapping per-ray input arrays -> tuple of per-ray outputs)
     only on up to ``capacity`` mask-selected rays, scattering results back

@@ -114,15 +114,18 @@ def main(argv=None):
         # so a capacity below (1 - object_frac) would hit the dense
         # overflow branch every step. Per-device-legal under
         # shard_map_trace on a mesh; plain single-chip otherwise.
-        from ..tracing.sphere_trace import auto_fallback_capacity
+        from ..tracing.sphere_trace import (auto_fallback_capacity,
+                                            auto_march_schedule)
         obj_frac = float(np.mean(scene.masks))
         cap = auto_fallback_capacity(obj_frac)
-        print(f"fallback capacity: {cap:.3f} (object mask frac "
-              f"{obj_frac:.3f})")
+        march_sched = auto_march_schedule(obj_frac)
+        print(f"fallback capacity: {cap:.3f}, march schedule "
+              f"{march_sched} (object mask frac {obj_frac:.3f})")
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
                                  fill_capacity_frac=0.5,
-                                 fallback_capacity_frac=cap)
+                                 fallback_capacity_frac=cap,
+                                 march_compact_schedule=march_sched)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, shard_map_trace=True,
             # Mosaic kernels need the TPU backend; on cpu (smoke runs)

@@ -70,14 +70,18 @@ def main():
     sc = make_scene_shaded(n=N_VIEWS, n_pix=N_PIX, sphere_radius=RADIUS)
 
     if not args.no_pallas:
-        from mvsdf_tpu.tracing.sphere_trace import auto_fallback_capacity
+        from mvsdf_tpu.tracing.sphere_trace import (auto_fallback_capacity,
+                                                    auto_march_schedule)
         obj_frac = float(np.mean(sc["mask_full"]))
         cap = auto_fallback_capacity(obj_frac)
-        print(f"fallback capacity: {cap:.3f} (object frac {obj_frac:.3f})")
+        march_sched = auto_march_schedule(obj_frac)
+        print(f"fallback capacity: {cap:.3f}, march schedule {march_sched} "
+              f"(object frac {obj_frac:.3f})")
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
                                  fill_capacity_frac=0.5,
-                                 fallback_capacity_frac=cap)
+                                 fallback_capacity_frac=cap,
+                                 march_compact_schedule=march_sched)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, tracer=tr))
     const = {k: jnp.asarray(np.asarray(sc[k])) for k in

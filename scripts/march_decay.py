@@ -90,6 +90,16 @@ def instrumented_march(cfg, sdf_fn, org, dirs, mask_intersect, t_near,
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene_dir", default="",
+                    help="measure on a real on-disk scene instead of the "
+                         "bench fixture")
+    ap.add_argument("--checkpoint_dir", default="",
+                    help="restore trained params from this orbax dir "
+                         "(default: init / DECAY_TRAIN_STEPS warm steps)")
+    args = ap.parse_args()
+
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -106,22 +116,36 @@ def main():
     n_images, n_pix = 8, 4096
     cfg = MVSDFConfig(train=TrainConfig(batch_size=n_images,
                                         num_pixels=n_pix))
-    scene = make_scene(n_images=n_images, n_pix=n_pix, feat_ch=32,
-                       img_hw=96, depth_hw=48)
-    batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}
     state = init_train_state(cfg, seed=0)
 
-    n_warm_steps = int(os.environ.get("DECAY_TRAIN_STEPS", "20"))
-    if n_warm_steps:
-        step = make_train_step(cfg, phase_idx=1, donate=False)
-        w = weights_to_array(cfg.schedule.weights(0.3))
-        key = jax.random.PRNGKey(0)
-        t0 = time.perf_counter()
-        for _ in range(n_warm_steps):
-            state, m = step(state, batch, w, key)
-        jax.block_until_ready(m["loss"])
-        print(f"{n_warm_steps} warm steps: {time.perf_counter()-t0:.1f}s",
-              flush=True)
+    if args.scene_dir:
+        from mvsdf_tpu.data.scene import SceneData
+        sd = SceneData(args.scene_dir, allow_random_features=True)
+        sd.change_sampling_idx(n_pix, np.random.default_rng(0))
+        idx = np.arange(min(n_images, sd.n_images))
+        batch = {k: jnp.asarray(np.asarray(v))
+                 for k, v in sd.get_batch(list(idx)).items()}
+    else:
+        scene = make_scene(n_images=n_images, n_pix=n_pix, feat_ch=32,
+                           img_hw=96, depth_hw=48)
+        batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}
+
+    if args.checkpoint_dir:
+        from mvsdf_tpu.train.checkpoints import restore_checkpoint
+        state, _ = restore_checkpoint(args.checkpoint_dir, None, state)
+        print(f"restored epoch {int(state.epoch)}", flush=True)
+    else:
+        n_warm_steps = int(os.environ.get("DECAY_TRAIN_STEPS", "20"))
+        if n_warm_steps:
+            step = make_train_step(cfg, phase_idx=1, donate=False)
+            w = weights_to_array(cfg.schedule.weights(0.3))
+            key = jax.random.PRNGKey(0)
+            t0 = time.perf_counter()
+            for _ in range(n_warm_steps):
+                state, m = step(state, batch, w, key)
+            jax.block_until_ready(m["loss"])
+            print(f"{n_warm_steps} warm steps: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
 
     icfg, tcfg = cfg.model.implicit, cfg.model.tracer
     uv = batch["uv"]

@@ -91,6 +91,33 @@ def test_auto_fallback_capacity():
     assert caps == sorted(caps) and max(caps) <= 1.0
 
 
+def test_auto_march_schedule():
+    from mvsdf_tpu.tracing.sphere_trace import auto_march_schedule
+    # full-mask bench fixture: only the convergence margin remains
+    sched = auto_march_schedule(1.0)
+    assert sched and all(0 < f < 0.95 for _, f in sched)
+    starts = [s for s, _ in sched]
+    assert starts == sorted(starts) and len(set(starts)) == len(starts)
+    # capstone masked scene (object 0.38 / bg 0.62): late caps must cover
+    # the measured active fractions (0.73 after iter 1, 0.61 after 4,
+    # 0.47 after 7 — scripts/march_decay.py)
+    sched = dict(auto_march_schedule(0.38))
+    assert sched[1] >= 0.73 and sched[5] >= 0.61 and sched[8] >= 0.47
+    # caps never increase along the march and never exceed 1
+    for frac in (1.0, 0.7, 0.38, 0.1):
+        caps = [f for _, f in auto_march_schedule(frac)]
+        assert caps == sorted(caps, reverse=True) and max(caps, default=0) <= 1
+    # mostly-background scene: early compaction is pointless, schedule
+    # drops segments whose cap is ~dense
+    assert all(f < 0.95 for _, f in auto_march_schedule(0.05))
+    # every generated schedule is accepted by the tracer and stays exact
+    dense = run(TracerConfig())
+    for frac in (1.0, 0.38):
+        seg = run(dataclasses.replace(
+            TracerConfig(), march_compact_schedule=auto_march_schedule(frac)))
+        _assert_equal(dense, seg)
+
+
 def test_unified_fallback_dense_branch_on_overflow():
     dense = run(TracerConfig())
     tiny = run(dataclasses.replace(TracerConfig(),
