@@ -73,21 +73,27 @@ def main():
         _progress(f"pallas trace kernel: on (fused march: {march}, "
                   f"in-kernel PE: {inkpe}, fused secant: {secant})")
     if os.environ.get("MVSDF_BENCH_COMPACT", "1") == "1":
-        # fallback-stage compaction (exact; dense branch on overflow)
+        # fallback-stage compaction cascade (exact; next tier / dense on
+        # overflow). Fixture active set: 33.2% of rays intersect the
+        # bounding sphere (the hard geometric bound on the fallback),
+        # measured active 0.314 at init -> top tier 0.375; the 0.1875
+        # tier engages as training shrinks the miss set.
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
                                  fill_capacity_frac=0.5,
-                                 fallback_capacity_frac=0.5)
+                                 fallback_capacity_frac=(0.1875, 0.375))
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
         _progress("fallback compaction: on")
     if os.environ.get("MVSDF_BENCH_MARCH_COMPACT", "1") == "1":
         # mid-march compaction (exact; dense branch on overflow). Measured
         # on this fixture: 33% of rays intersect the bounding sphere, 14%
-        # still march after one iteration (scripts/march_decay.py).
+        # still march after one iteration, <10% past iter 5
+        # (scripts/march_decay.py).
         tr = dataclasses.replace(cfg.model.tracer,
                                  march_compact_schedule=((0, 0.5),
-                                                         (1, 0.25)))
+                                                         (1, 0.25),
+                                                         (5, 0.125)))
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
         _progress("march compaction: on")

@@ -29,7 +29,8 @@ Stages (ref line numbers):
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+import functools
+from typing import NamedTuple, Optional, Tuple, Union
 
 import numpy as np
 import jax
@@ -59,8 +60,11 @@ class TracerConfig:
     # and the min-SDF fill rays (misses) are DISJOINT, so one compacted
     # n_steps-sample evaluation serves both — per-ray step patterns select
     # uniform-linspace (sampler) vs random-stratified (fill) rows. Replaces
-    # the two separate stages when > 0; exact either way.
-    fallback_capacity_frac: float = 0.0
+    # the two separate stages when > 0; exact either way. A tuple of
+    # fractions builds a capacity CASCADE (the tightest tier that fits the
+    # runtime active count runs) — the active set shrinks as the surface
+    # forms, and the cascade follows it within one compiled program.
+    fallback_capacity_frac: Union[float, Tuple[float, ...]] = 0.0
     # Mid-march compaction: ((start_iter, capacity_frac), ...) splits the
     # bidirectional march into segments; from ``start_iter`` on, only up to
     # capacity_frac * R rays (those still marching in either direction) are
@@ -370,7 +374,8 @@ def _unified_fallback(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
 
 
 def auto_fallback_capacity(object_frac: float, sampler_margin: float = 0.30,
-                           granularity: float = 1 / 16) -> float:
+                           granularity: float = 1 / 16,
+                           intersect_frac: Optional[float] = None) -> float:
     """Scene-aware capacity for the unified fallback stage.
 
     The fallback's active set is (march-unfinished rays) ∪ (every
@@ -385,16 +390,83 @@ def auto_fallback_capacity(object_frac: float, sampler_margin: float = 0.30,
     margin, rounded up for shape stability; >= 0.9 collapses to 1.0
     (pure dense, no gather — a near-full gather costs more than it saves).
 
+    EVERY fallback ray additionally intersects the bounding sphere
+    (both the sampler and fill sets require mask_intersect; left_out rays
+    take the origin-projection branch instead, ref :79-84), so the
+    scene's sphere-intersect fraction — pure camera geometry, no SDF —
+    is a hard upper bound on the active set. Pass ``intersect_frac``
+    (mean over sampled pixels of ray/bounding-sphere intersection) to
+    apply it: on wide-FoV scenes where much of the frame misses the
+    sphere it is far tighter than the mask bound (bench fixture: 0.33
+    intersect vs all-ones masks).
+
     object_frac: mean of the scene's object masks over all images/pixels.
     """
-    frac = (1.0 - object_frac) + sampler_margin
+    if intersect_frac is not None:
+        # the hard bound: active ⊆ intersecting rays, +granularity slack
+        frac = intersect_frac + granularity
+    else:
+        frac = (1.0 - object_frac) + sampler_margin
     frac = np.ceil(frac / granularity) * granularity
     if frac >= 0.9:
         return 1.0
     return float(max(frac, granularity))
 
 
-def auto_march_schedule(object_frac: float, granularity: float = 1 / 16):
+def auto_fallback_cascade(object_frac: float, sampler_margin: float = 0.30,
+                          granularity: float = 1 / 16,
+                          intersect_frac: Optional[float] = None):
+    """Capacity cascade for the unified fallback.
+
+    Top tier: the guaranteed static bound (sphere-intersect fraction when
+    known, else the mask heuristic). Lower tiers (the mask heuristic, or
+    half the top) engage automatically once training shrinks the miss set
+    (the surface forms, fill rays become hits). Exact at every tier —
+    overflow falls through to the next tier / dense.
+    """
+    top = auto_fallback_capacity(object_frac, sampler_margin, granularity,
+                                 intersect_frac)
+    if top >= 1.0:
+        return (1.0,)
+    tiers = {top}
+    if intersect_frac is not None:
+        mask_tier = auto_fallback_capacity(object_frac, sampler_margin,
+                                           granularity)
+        if mask_tier < top:
+            tiers.add(mask_tier)
+    if len(tiers) == 1:
+        half = float(max(np.ceil(top / 2 / granularity) * granularity,
+                         2 * granularity))
+        if half < top:
+            tiers.add(half)
+    return tuple(sorted(tiers))
+
+
+def ray_intersect_fraction(uv, intrinsics, pose, radius: float = 1.0,
+                           max_rays: int = 200_000) -> float:
+    """Fraction of pixel rays that intersect the bounding sphere — the
+    hard geometric bound on the fallback active set. Host-side numpy over
+    a pixel subsample; cheap enough to run once at trainer setup.
+
+    uv (B, P, 2) pixel coords, intrinsics (B, 4, 4), pose (B, 4, 4).
+    """
+    from ..geometry.cameras import get_camera_params
+    uv = np.asarray(uv)
+    B, P, _ = uv.shape
+    stride = max(1, (B * P) // max_rays)
+    uv = uv[:, ::stride]
+    dirs, org = jax.tree_util.tree_map(
+        np.asarray, get_camera_params(jnp.asarray(uv),
+                                      jnp.asarray(np.asarray(pose)),
+                                      jnp.asarray(np.asarray(intrinsics))))
+    org = np.broadcast_to(org[:, None, :], dirs.shape)
+    d_dot_o = np.sum(dirs * org, -1)
+    under = d_dot_o ** 2 - (np.sum(org ** 2, -1) - radius ** 2)
+    return float(np.mean(under > 0))
+
+
+def auto_march_schedule(object_frac: float, granularity: float = 1 / 16,
+                        intersect_frac: Optional[float] = None):
     """Scene-aware mid-march compaction schedule.
 
     Measured decay profiles (scripts/march_decay.py): object rays converge
@@ -404,47 +476,77 @@ def auto_march_schedule(object_frac: float, granularity: float = 1 / 16):
     iter 1, 0.61 after 4, 0.47 after 7). Capacities are background + a
     convergence margin, rounded up; a segment whose active set overflows
     just takes the exact dense branch for that segment.
+
+    Marching rays all intersect the bounding sphere, so ``intersect_frac``
+    (see auto_fallback_capacity) additionally caps every segment — on
+    wide-FoV scenes it also enables an iteration-0 segment (the march
+    starts with exactly the intersecting rays active).
     """
     bg = 1.0 - object_frac
 
     def cap(x):
+        if intersect_frac is not None:
+            x = min(x, intersect_frac + granularity)
         x = np.ceil(x / granularity) * granularity
         return float(np.clip(x, 2 * granularity, 1.0))
 
     sched = [(1, cap(bg + 0.25)), (5, cap(bg + 0.05)),
              (8, cap(0.75 * bg + 0.05))]
-    return tuple((s, f) for s, f in sched if f < 0.95)
+    if intersect_frac is not None and cap(1.0) < 0.95:
+        sched.insert(0, (0, cap(1.0)))
+    out = []
+    for s, f in sched:
+        if f < 0.95 and (not out or f < out[-1][1]):
+            out.append((s, f))
+    return tuple(out)
 
 
 def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
     """Run ``fn`` (mapping per-ray input arrays -> tuple of per-ray outputs)
-    only on up to ``capacity`` mask-selected rays, scattering results back
-    into full-size arrays; falls back to the dense computation when more
-    rays are active than fit. Exact either way.
+    only on mask-selected rays gathered into a fixed-capacity block,
+    scattering results back into full-size arrays; falls back to the dense
+    computation when more rays are active than fit. Exact either way.
+
+    ``capacity`` may be a single int or an ascending tuple of ints — a
+    CASCADE: at runtime the tightest tier that fits the active count runs
+    (nested lax.cond; only one branch executes). The cascade adapts within
+    a single compiled program as the active set shrinks over training
+    (e.g. the fallback's miss set contracts as the surface forms).
 
     per_ray_inputs: flat (R, ...) arrays; out_builders: zero arrays defining
     output shapes/dtypes ((R, ...) each).
     """
     R = mask.shape[0]
-    if capacity >= R:
+    caps = tuple(capacity) if isinstance(capacity, (tuple, list)) \
+        else (capacity,)
+    caps = tuple(sorted(c for c in caps if c < R))
+    if not caps:
         # capacity covers every ray: run dense directly, no gather/scatter
         # or cond (scenes whose mask stats make compaction pointless —
         # see auto_fallback_capacity)
         return tuple(fn(*per_ray_inputs))
     count = jnp.sum(mask)
+    order = jnp.argsort(~mask, stable=True)
 
     def dense(_):
         return tuple(fn(*per_ray_inputs))
 
-    def compact(_):
-        order = jnp.argsort(~mask, stable=True)
-        idx = order[:capacity]
-        sub = [a[idx] for a in per_ray_inputs]
-        outs = fn(*sub)
-        return tuple(base.at[idx].set(o)
-                     for base, o in zip(out_builders, outs))
+    def compact_at(cap):
+        def compact(_):
+            idx = order[:cap]
+            sub = [a[idx] for a in per_ray_inputs]
+            outs = fn(*sub)
+            return tuple(base.at[idx].set(o)
+                         for base, o in zip(out_builders, outs))
+        return compact
 
-    return jax.lax.cond(count <= capacity, compact, dense, 0)
+    branch = dense
+    for cap in reversed(caps):
+        branch = functools.partial(
+            lambda cap, nxt, _: jax.lax.cond(count <= cap, compact_at(cap),
+                                             nxt, 0),
+            cap, branch)
+    return branch(0)
 
 
 def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
@@ -487,7 +589,10 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     lead = org.shape[:-1]
     R = int(np.prod(lead))
 
-    if training and cfg.fallback_capacity_frac > 0:
+    fb_fracs = cfg.fallback_capacity_frac
+    if not isinstance(fb_fracs, (tuple, list)):
+        fb_fracs = (fb_fracs,) if fb_fracs > 0 else ()
+    if training and fb_fracs:
         # --- unified fallback: sampler + min-SDF fill in ONE compacted
         # n_steps-sample evaluation (the two ray sets are disjoint; the
         # fill's mask algebra only reads pre-sampler march state on
@@ -505,7 +610,7 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
         active = sampler_mask | fill
         t_lo = jnp.where(sampler_mask, t_s, min_dis)
         t_hi = jnp.where(sampler_mask, t_e, max_dis)
-        cap = max(128, int(R * cfg.fallback_capacity_frac))
+        cap = tuple(max(128, int(R * f)) for f in fb_fracs)
         fn = lambda o, d, m, sm, lo, hi: _unified_fallback(
             cfg, sdf_fn, o, d, m, sm, lo, hi, minimal_steps, training,
             secant_fn=secant_fn)

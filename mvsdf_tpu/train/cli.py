@@ -114,13 +114,19 @@ def main(argv=None):
         # so a capacity below (1 - object_frac) would hit the dense
         # overflow branch every step. Per-device-legal under
         # shard_map_trace on a mesh; plain single-chip otherwise.
-        from ..tracing.sphere_trace import (auto_fallback_capacity,
-                                            auto_march_schedule)
+        from ..tracing.sphere_trace import (auto_fallback_cascade,
+                                            auto_march_schedule,
+                                            ray_intersect_fraction)
         obj_frac = float(np.mean(scene.masks))
-        cap = auto_fallback_capacity(obj_frac)
-        march_sched = auto_march_schedule(obj_frac)
-        print(f"fallback capacity: {cap:.3f}, march schedule "
-              f"{march_sched} (object mask frac {obj_frac:.3f})")
+        uv_all = np.broadcast_to(scene.uv[None], (scene.n_images,) +
+                                 scene.uv.shape)
+        isect = ray_intersect_fraction(uv_all, scene.intrinsics,
+                                       scene.poses)
+        cap = auto_fallback_cascade(obj_frac, intersect_frac=isect)
+        march_sched = auto_march_schedule(obj_frac, intersect_frac=isect)
+        print(f"fallback capacity cascade: {cap}, march schedule "
+              f"{march_sched} (object mask frac {obj_frac:.3f}, "
+              f"sphere-intersect frac {isect:.3f})")
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
                                  fill_capacity_frac=0.5,

@@ -91,6 +91,53 @@ def test_auto_fallback_capacity():
     assert caps == sorted(caps) and max(caps) <= 1.0
 
 
+def test_fallback_capacity_cascade():
+    dense = run(TracerConfig())
+    # tiers around the active count: tightest fitting tier must run, exact
+    casc = run(dataclasses.replace(TracerConfig(),
+                                   fallback_capacity_frac=(0.6, 0.9)))
+    _assert_equal(dense, casc)
+    # all tiers overflow -> dense branch
+    tiny = run(dataclasses.replace(TracerConfig(),
+                                   fallback_capacity_frac=(0.001, 0.002)))
+    _assert_equal(dense, tiny)
+    # tier >= 1.0 is dropped; mixed cascade still exact
+    mixed = run(dataclasses.replace(TracerConfig(),
+                                    fallback_capacity_frac=(0.7, 1.0)))
+    _assert_equal(dense, mixed)
+
+
+def test_auto_fallback_cascade_and_intersect_bound():
+    from mvsdf_tpu.tracing.sphere_trace import (auto_fallback_capacity,
+                                                auto_fallback_cascade)
+    # intersect bound tightens the all-ones-mask capacity (bench fixture:
+    # 0.332 intersect, active 0.314 -> needs > 0.3125)
+    assert auto_fallback_capacity(1.0) == 0.3125
+    cap = auto_fallback_capacity(1.0, intersect_frac=0.332)
+    assert 0.332 < cap <= 0.5
+    # masked DTU-like scene: mask bound (dense) stays when intersect high
+    assert auto_fallback_capacity(0.4, intersect_frac=0.95) == 1.0
+    # cascade tiers ascend and top the single capacity
+    casc = auto_fallback_cascade(1.0, intersect_frac=0.332)
+    assert casc == tuple(sorted(casc)) and casc[-1] == cap
+    assert auto_fallback_cascade(0.4) == (1.0,)
+
+
+def test_ray_intersect_fraction():
+    from mvsdf_tpu.tracing.sphere_trace import ray_intersect_fraction
+    from tests.golden.scene_fixtures import make_scene
+    sc = make_scene(n_images=2, n_pix=64, feat_ch=8, img_hw=32, depth_hw=16)
+    frac = ray_intersect_fraction(sc["uv"], sc["intrinsics"], sc["pose"])
+    assert 0.0 < frac <= 1.0
+    # matches the tracer's own mask_intersect on the same rays
+    org, dirs = scene()
+    d_dot_o = np.sum(np.asarray(dirs) * np.asarray(org), -1)
+    under = d_dot_o ** 2 - (np.sum(np.asarray(org) ** 2, -1) - 1.0)
+    t = trace_rays(TracerConfig(), torus, org, dirs,
+                   jnp.ones((256,), bool), training=False)
+    np.testing.assert_array_equal(np.asarray(t.mask_intersect), under > 0)
+
+
 def test_auto_march_schedule():
     from mvsdf_tpu.tracing.sphere_trace import auto_march_schedule
     # full-mask bench fixture: only the convergence margin remains
@@ -110,6 +157,16 @@ def test_auto_march_schedule():
     # mostly-background scene: early compaction is pointless, schedule
     # drops segments whose cap is ~dense
     assert all(f < 0.95 for _, f in auto_march_schedule(0.05))
+    # intersect bound enables an iteration-0 segment on wide-FoV scenes
+    # and caps every segment
+    sched = auto_march_schedule(1.0, intersect_frac=0.33)
+    assert sched[0][0] == 0
+    assert all(f <= 0.5 for _, f in sched)
+    caps = [f for _, f in sched]
+    assert caps == sorted(caps, reverse=True)
+    # high-intersect masked scene: no iter-0 segment, mask bound rules
+    sched = auto_march_schedule(0.38, intersect_frac=0.95)
+    assert all(s >= 1 for s, _ in sched)
     # every generated schedule is accepted by the tracer and stays exact
     dense = run(TracerConfig())
     for frac in (1.0, 0.38):
