@@ -86,14 +86,17 @@ def main():
             cfg.model, tracer=tr))
         _progress("fallback compaction: on")
     if os.environ.get("MVSDF_BENCH_MARCH_COMPACT", "1") == "1":
-        # mid-march compaction (exact; dense branch on overflow). Measured
-        # on this fixture: 33% of rays intersect the bounding sphere, 14%
-        # still march after one iteration, <10% past iter 5
-        # (scripts/march_decay.py).
+        # mid-march compaction cascades (exact; next tier / dense on
+        # overflow). Measured on this fixture: 33% of rays intersect the
+        # bounding sphere, 14% still march after one iteration, <10% past
+        # iter 5 (scripts/march_decay.py); borderline early-training
+        # counts overflow the tight tiers, which now costs one tier up
+        # instead of a full-R dense segment.
         tr = dataclasses.replace(cfg.model.tracer,
-                                 march_compact_schedule=((0, 0.5),
-                                                         (1, 0.25),
-                                                         (5, 0.125)))
+                                 march_compact_schedule=(
+                                     (0, (0.375, 0.5)),
+                                     (1, (0.1875, 0.25)),
+                                     (5, (0.0625, 0.125, 0.25))))
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
         _progress("march compaction: on")

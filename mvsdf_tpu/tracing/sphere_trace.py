@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple, Union
+from typing import Any, NamedTuple, Optional, Tuple, Union
 
 import numpy as np
 import jax
@@ -72,10 +72,15 @@ class TracerConfig:
     # exact either way; converged lanes are frozen by masks and never move,
     # so excluding them changes nothing). Iterations before the first
     # start_iter run dense. () = always dense (reference-parity default).
-    # Measured on the bench fixture only 33% of rays intersect the bounding
-    # sphere and 14% are still marching after one iteration — the march is
-    # FLOP-bound, so this is a near-proportional saving (PERF.md).
-    march_compact_schedule: Tuple[Tuple[int, float], ...] = ()
+    # capacity_frac may be a TUPLE of fractions — a capacity cascade per
+    # segment (see fallback_capacity_frac); an overflow of the tight tier
+    # then costs one tier up instead of a full-R dense segment (profiling
+    # showed borderline early-training counts flipping segments dense for
+    # ~16 ms/step). Measured on the bench fixture only 33% of rays
+    # intersect the bounding sphere and 14% are still marching after one
+    # iteration — the march is FLOP-bound, so this is a near-proportional
+    # saving (PERF.md).
+    march_compact_schedule: Tuple[Tuple[int, Any], ...] = ()
 
 
 class TraceResult(NamedTuple):
@@ -225,11 +230,14 @@ def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
 
     for i0, i1, frac in segments:
         init = i0 == 0
-        if frac is None or int(R * frac) >= R:
+        fracs = tuple(frac) if isinstance(frac, (tuple, list)) else \
+            (frac,) if frac is not None else ()
+        caps = tuple(max(128, int(R * f)) for f in fracs if int(R * f) < R)
+        if not caps:
             unfin2, t2, next2 = _march_iters(
                 cfg, sdf_fn, orgf, dirsf, unfin2, t2, next2, i0, i1, init)
             continue
-        cap = max(128, int(R * frac))
+        cap = caps
         active = mi if init else (unfin2[0] | unfin2[1])
 
         def seg_fn(o, d, u, tt, nx, i0=i0, i1=i1, init=init):
@@ -496,8 +504,11 @@ def auto_march_schedule(object_frac: float, granularity: float = 1 / 16,
         sched.insert(0, (0, cap(1.0)))
     out = []
     for s, f in sched:
-        if f < 0.95 and (not out or f < out[-1][1]):
-            out.append((s, f))
+        if f < 0.95 and (not out or f < out[-1][1][0]):
+            # two-tier cascade: heuristic cap + a 2x overflow tier, so a
+            # borderline count costs one tier up, not a dense segment
+            over = cap(2 * f)
+            out.append((s, (f, over) if over > f and over < 0.95 else (f,)))
     return tuple(out)
 
 

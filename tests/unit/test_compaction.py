@@ -140,30 +140,32 @@ def test_ray_intersect_fraction():
 
 def test_auto_march_schedule():
     from mvsdf_tpu.tracing.sphere_trace import auto_march_schedule
-    # full-mask bench fixture: only the convergence margin remains
+    # full-mask bench fixture: only the convergence margin remains;
+    # every entry is a per-segment capacity cascade (ascending tiers)
     sched = auto_march_schedule(1.0)
-    assert sched and all(0 < f < 0.95 for _, f in sched)
+    assert sched
+    for _, tiers in sched:
+        assert tiers == tuple(sorted(tiers))
+        assert all(0 < f < 0.95 for f in tiers)
     starts = [s for s, _ in sched]
     assert starts == sorted(starts) and len(set(starts)) == len(starts)
-    # capstone masked scene (object 0.38 / bg 0.62): late caps must cover
-    # the measured active fractions (0.73 after iter 1, 0.61 after 4,
-    # 0.47 after 7 — scripts/march_decay.py)
-    sched = dict(auto_march_schedule(0.38))
-    assert sched[1] >= 0.73 and sched[5] >= 0.61 and sched[8] >= 0.47
-    # caps never increase along the march and never exceed 1
+    # capstone masked scene (object 0.38 / bg 0.62): the top tier must
+    # cover the measured active fractions (0.73 after iter 1, 0.61 after
+    # 4, 0.47 after 7 — scripts/march_decay.py)
+    top = {s: max(t) for s, t in auto_march_schedule(0.38)}
+    assert top[1] >= 0.73 and top[5] >= 0.61 and top[8] >= 0.47
+    # tight tiers never increase along the march and never exceed 1
     for frac in (1.0, 0.7, 0.38, 0.1):
-        caps = [f for _, f in auto_march_schedule(frac)]
+        caps = [min(t) for _, t in auto_march_schedule(frac)]
         assert caps == sorted(caps, reverse=True) and max(caps, default=0) <= 1
     # mostly-background scene: early compaction is pointless, schedule
     # drops segments whose cap is ~dense
-    assert all(f < 0.95 for _, f in auto_march_schedule(0.05))
+    assert all(max(t) < 0.95 for _, t in auto_march_schedule(0.05))
     # intersect bound enables an iteration-0 segment on wide-FoV scenes
-    # and caps every segment
+    # and caps every tier
     sched = auto_march_schedule(1.0, intersect_frac=0.33)
     assert sched[0][0] == 0
-    assert all(f <= 0.5 for _, f in sched)
-    caps = [f for _, f in sched]
-    assert caps == sorted(caps, reverse=True)
+    assert all(f <= 0.5 for _, t in sched for f in t)
     # high-intersect masked scene: no iter-0 segment, mask bound rules
     sched = auto_march_schedule(0.38, intersect_frac=0.95)
     assert all(s >= 1 for s, _ in sched)
@@ -222,6 +224,17 @@ def test_march_compact_eval_mode_and_2d_lead():
     seg = run2d(dataclasses.replace(TracerConfig(),
                                     march_compact_schedule=((1, 0.6),)))
     _assert_equal(dense, seg)
+
+
+def test_march_compact_cascade_tiers():
+    dense = run(TracerConfig())
+    # per-segment cascades: tight tier fits / overflows to next / dense
+    for sched in (((0, (0.6, 0.9)), (2, (0.5, 0.75))),
+                  ((0, (0.001, 0.002)),),        # all tiers overflow
+                  ((1, (0.5, 1.0)),)):           # >=1.0 tier dropped
+        seg = run(dataclasses.replace(TracerConfig(),
+                                      march_compact_schedule=sched))
+        _assert_equal(dense, seg)
 
 
 def test_march_compact_schedule_validation():
