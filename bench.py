@@ -100,6 +100,14 @@ def main():
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
         _progress("march compaction: on")
+    if os.environ.get("MVSDF_BENCH_BF16ACT", "1") == "1":
+        # bf16 activation storage in the supervised MLP (same bf16
+        # multiply / f32 accumulate as DEFAULT matmul precision; halves
+        # the HBM bytes of the bandwidth-bound supervised fwd+bwd)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, implicit=dataclasses.replace(
+                cfg.model.implicit, bf16_activations=True)))
+        _progress("bf16 activations: on")
     scene = make_scene(n_images=N_IMAGES, n_pix=N_PIX, feat_ch=FEAT_CH,
                       img_hw=96, depth_hw=48)
     batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}

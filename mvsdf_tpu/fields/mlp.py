@@ -13,6 +13,7 @@ We store V transposed as (d_in, d_out) so the forward pass is a plain
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -40,8 +41,19 @@ def effective_weight(layer):
 
 
 def linear_apply(layer, x):
-    """x (..., d_in) -> (..., d_out)."""
-    return x @ effective_weight(layer) + layer["b"]
+    """x (..., d_in) -> (..., d_out). A bf16 input selects the
+    half-traffic path: the weight is cast to bf16 and the dot accumulates
+    in f32 (`preferred_element_type`) — the same multiplication precision
+    as an f32 matmul under DEFAULT precision, but activations, backward
+    residuals, and their cotangent chains move half the HBM bytes."""
+    W = effective_weight(layer)
+    if x.dtype == jnp.bfloat16:
+        y = jax.lax.dot_general(
+            x, W.astype(jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y + layer["b"]
+    return x @ W + layer["b"]
 
 
 def torch_linear_default_init(rng: np.random.Generator, d_in, d_out):

@@ -37,6 +37,13 @@ class ImplicitConfig:
     skip_in: Tuple[int, ...] = (4,)
     weight_norm: bool = True
     multires: int = 6
+    # Store hidden activations in bf16 (matmuls still accumulate f32 via
+    # preferred_element_type — identical multiplication precision to the
+    # DEFAULT-precision f32 path). Halves the HBM bytes of the supervised
+    # forward/backward, which profiling shows is bandwidth-bound, not
+    # FLOP-bound. Off by default (golden parity tests pin the f32 path);
+    # quality-validated before any pipeline turns it on (PERF.md).
+    bf16_activations: bool = False
 
     @property
     def layer_dims(self) -> Tuple[int, ...]:
@@ -94,14 +101,22 @@ def implicit_apply(cfg: ImplicitConfig, params, x):
     """x (..., 3) -> (..., 1 + 1 + feature_vector_size):
     [sdf, surface-indicator logit, feature]."""
     inp = positional_encoding(x, cfg.multires)
+    if cfg.bf16_activations:
+        inp = inp.astype(jnp.bfloat16)
     h = inp
     n_layers = len(cfg.layer_dims)
     for l in range(n_layers - 1):
         if l in cfg.skip_in:
             h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
+            if cfg.bf16_activations:
+                h = h.astype(jnp.bfloat16)
         h = linear_apply(params[l], h)
         if l < n_layers - 2:
+            # softplus in f32 (linear_apply accumulates f32), then the
+            # storage cast
             h = _softplus100(h)
+            if cfg.bf16_activations:
+                h = h.astype(jnp.bfloat16)
     return h
 
 

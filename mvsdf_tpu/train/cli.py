@@ -56,6 +56,12 @@ def main(argv=None):
                          "plus fallback-stage compaction (single-process; "
                          "TPU only). The supervised re-evaluation stays "
                          "full-f32 either way.")
+    ap.add_argument("--bf16_acts", action="store_true",
+                    help="bf16 activation storage in the supervised "
+                         "implicit MLP (bf16 multiply / f32 accumulate "
+                         "like DEFAULT matmul precision; ~6%% faster "
+                         "steps; 600-epoch study: PSNR 23.0 vs 22.91, "
+                         "chamfer 0.0105 vs 0.0097 — see PERF.md)")
     ap.add_argument("--allow_random_features", action="store_true",
                     help="proceed with RANDOM FeatExt CNN weights when the "
                          "pretrained VisMVSNet checkpoint "
@@ -106,6 +112,11 @@ def main(argv=None):
 
     scene = SceneData(args.data_dir,
                       allow_random_features=args.allow_random_features)
+
+    if args.bf16_acts:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, implicit=dataclasses.replace(
+                cfg.model.implicit, bf16_activations=True)))
 
     if args.pallas:
         # Fused Pallas SDF kernels + unified-fallback compaction. The

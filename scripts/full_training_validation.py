@@ -33,6 +33,9 @@ def main():
                     help="XLA matmul precision for the supervised path "
                          "(the Pallas trace kernel is bf16 regardless)")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--bf16_acts", action="store_true",
+                    help="bf16 activation storage in the supervised "
+                         "implicit MLP (quality study arm)")
     ap.add_argument("--out", default="/tmp/mvsdf_validation")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -66,6 +69,10 @@ def main():
         learning_rate=5e-5, skip_nonfinite_updates=True))
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, implicit_diff_min_dot=1e-2))
+    if args.bf16_acts:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, implicit=dataclasses.replace(
+                cfg.model.implicit, bf16_activations=True)))
     print("building coherent scene + features...", flush=True)
     sc = make_scene_shaded(n=N_VIEWS, n_pix=N_PIX, sphere_radius=RADIUS)
 

@@ -112,3 +112,34 @@ def test_render_field_shapes_and_range():
                     jnp.float32))
     assert rgb.shape == (n, 3)
     assert float(jnp.abs(rgb).max()) <= 1.0
+
+
+def test_bf16_activations_close_to_f32():
+    """bf16 activation storage must keep outputs, spatial grads, and param
+    grads within bf16-rounding distance of the f32 path (PERF.md quality
+    study validates end-to-end training quality)."""
+    import dataclasses
+    from mvsdf_tpu.fields.sdf import full_value_and_grad
+    cfg = ImplicitConfig()
+    cfgb = dataclasses.replace(cfg, bf16_activations=True)
+    params = init_implicit(cfg, np.random.default_rng(0))
+    x = jnp.asarray(np.random.default_rng(1).uniform(-0.8, 0.8, (256, 3)),
+                    jnp.float32)
+    o1, g1 = full_value_and_grad(cfg, params, x)
+    o2, g2 = full_value_and_grad(cfgb, params, x)
+    assert o2.dtype == jnp.float32 and g2.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(o1[:, 0])))
+    assert float(jnp.max(jnp.abs(o1[:, 0] - o2[:, 0]))) < 0.02 * scale
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 0.03 * float(
+        jnp.max(jnp.abs(g1)))
+
+    def loss(p, c):
+        o, g = full_value_and_grad(c, p, x)
+        return jnp.mean(o[:, 0] ** 2) + jnp.mean(
+            (jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    t1 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(p, cfg))(params))
+    t2 = jax.tree_util.tree_leaves(jax.grad(lambda p: loss(p, cfgb))(params))
+    for a, b in zip(t1, t2):
+        assert float(jnp.max(jnp.abs(a - b))) < 0.05 * (
+            float(jnp.max(jnp.abs(a))) + 1e-6)
