@@ -88,10 +88,14 @@ def main(argv=None):
     if args.pallas:
         # fused trace kernel for the rendering paths too (the grid SDF
         # evaluation below has its own pallas toggle); the trace only
-        # locates surface points — rgb is still evaluated in f32
+        # locates surface points — rgb is still evaluated in f32. Mosaic
+        # kernels need the TPU backend; on cpu (smoke runs) fall back to
+        # interpret mode like the train CLI.
         import dataclasses as _dc
+        import jax as _jax
         cfg = _dc.replace(cfg, model=_dc.replace(
-            cfg.model, use_pallas_trace=True))
+            cfg.model, use_pallas_trace=True,
+            pallas_interpret=_jax.devices()[0].platform == "cpu"))
     if args.render_mode:
         # ref ray_tracing.py:127-131 + eval.py:106-107
         import dataclasses
@@ -162,7 +166,8 @@ def main(argv=None):
     if args.pallas:
         from ..tracing.pallas import pack_sdf_weights, make_pallas_sdf_fn
         packed = pack_sdf_weights(icfg, params["implicit"])
-        sdf = make_pallas_sdf_fn(icfg, packed)
+        sdf = make_pallas_sdf_fn(icfg, packed,
+                                 interpret=cfg.model.pallas_interpret)
     else:
         def sdf(x):
             return sdf_apply(icfg, params["implicit"], x)
@@ -233,6 +238,27 @@ def main(argv=None):
         psnrs = []
         # one compiled program serves every chunk: jit once, pad the tail
         chunk = min(args.chunk_pixels, scene.total_pixels)
+
+        if args.pallas:
+            # eval-mode trace compaction: the 100-sample fallback only
+            # serves march-unfinished rays (tiny for a trained SDF) and
+            # marching rays are a subset of sphere-intersecting rays —
+            # cascade capacities, exact with dense overflow (PERF.md)
+            import dataclasses as _dc
+            from ..tracing.sphere_trace import (auto_march_schedule,
+                                                ray_intersect_fraction)
+            uv_all = np.broadcast_to(
+                scene.uv[None], (scene.n_images,) + scene.uv.shape)
+            isect = ray_intersect_fraction(uv_all, scene.intrinsics,
+                                           scene.poses)
+            sched = auto_march_schedule(1.0, intersect_frac=isect)
+            cfg = _dc.replace(cfg, model=_dc.replace(
+                cfg.model, tracer=_dc.replace(
+                    cfg.model.tracer,
+                    sampler_capacity_frac=(0.0625, 0.25),
+                    march_compact_schedule=sched)))
+            print(f"render compaction: sampler (0.0625, 0.25), march "
+                  f"{sched} (intersect {isect:.3f})")
 
         @jax.jit
         def _render(p, inputs):

@@ -54,8 +54,9 @@ class TracerConfig:
     # dense (the reference-parity default). Single-chip optimization: the
     # gather crosses shard boundaries, so leave at 1.0 on multi-chip meshes
     # (or run the trace under shard_map, where compaction is per-device).
-    sampler_capacity_frac: float = 1.0
-    fill_capacity_frac: float = 1.0
+    # Tuples build capacity cascades (see fallback_capacity_frac).
+    sampler_capacity_frac: Union[float, Tuple[float, ...]] = 1.0
+    fill_capacity_frac: Union[float, Tuple[float, ...]] = 1.0
     # Unified fallback (training only): the sampler rays (march unfinished)
     # and the min-SDF fill rays (misses) are DISJOINT, so one compacted
     # n_steps-sample evaluation serves both — per-ray step patterns select
@@ -647,12 +648,17 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
                            mask_intersect)
     smp_t_min = jnp.where(sampler_mask, t_s, 0.0)
     smp_t_max = jnp.where(sampler_mask, t_e, 0.0)
-    if cfg.sampler_capacity_frac >= 1.0:
+    smp_fracs = cfg.sampler_capacity_frac
+    if not isinstance(smp_fracs, (tuple, list)):
+        smp_fracs = (smp_fracs,)
+    smp_caps = tuple(max(128, int(R * f)) for f in smp_fracs
+                     if int(R * f) < R)
+    if not smp_caps:
         smp_pts, smp_net, smp_d = _ray_sampler(
             cfg, sdf_fn, org, dirs, object_mask, smp_t_min, smp_t_max,
             training, secant_fn=secant_fn)
     else:
-        cap = max(128, int(R * cfg.sampler_capacity_frac))
+        cap = smp_caps
         fn = lambda o, d, m, lo, hi: _ray_sampler(
             cfg, sdf_fn, o, d, m, lo, hi, training, secant_fn=secant_fn)
         smp_pts, smp_net, smp_d = _compact_call(
@@ -690,11 +696,16 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
         if key is None:
             raise ValueError("training trace needs key or minimal_steps")
         minimal_steps = jax.random.uniform(key, (cfg.n_steps,))
-    if cfg.fill_capacity_frac >= 1.0:
+    fill_fracs = cfg.fill_capacity_frac
+    if not isinstance(fill_fracs, (tuple, list)):
+        fill_fracs = (fill_fracs,)
+    fill_caps = tuple(max(128, int(R * f)) for f in fill_fracs
+                      if int(R * f) < R)
+    if not fill_caps:
         mn_pts, mn_d = _minimal_sdf_points(cfg, sdf_fn, org, dirs, min_dis,
                                            max_dis, minimal_steps)
     else:
-        cap = max(128, int(R * cfg.fill_capacity_frac))
+        cap = fill_caps
         fn = lambda o, d, lo, hi: _minimal_sdf_points(
             cfg, sdf_fn, o, d, lo, hi, minimal_steps)
         mn_pts, mn_d = _compact_call(

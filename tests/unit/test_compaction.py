@@ -250,3 +250,19 @@ def test_compact_eval_mode():
                                       sampler_capacity_frac=0.9),
                   training=False)
     _assert_equal(dense, compact)
+
+
+def test_sampler_and_fill_cascades():
+    # tuple capacities on the separate sampler/fill stages (the eval CLI
+    # render path uses a sampler cascade), training and eval modes
+    dense_t = run(TracerConfig())
+    casc_t = run(dataclasses.replace(TracerConfig(),
+                                     sampler_capacity_frac=(0.5, 0.9),
+                                     fill_capacity_frac=(0.6, 0.9)))
+    _assert_equal(dense_t, casc_t)
+    dense_e = run(TracerConfig(), training=False)
+    for fracs in ((0.5, 0.9), (0.001, 0.002), (0.7, 1.0)):
+        casc_e = run(dataclasses.replace(TracerConfig(),
+                                         sampler_capacity_frac=fracs),
+                     training=False)
+        _assert_equal(dense_e, casc_e)
