@@ -481,10 +481,11 @@ def auto_march_schedule(object_frac: float, granularity: float = 1 / 16,
     Measured decay profiles (scripts/march_decay.py): object rays converge
     within ~2 iterations; background (out-of-mask) rays march until their
     start/end fronts cross, so the late-iteration active fraction tracks
-    the background fraction (capstone scene, bg 0.62: active 0.73 after
-    iter 1, 0.61 after 4, 0.47 after 7). Capacities are background + a
-    convergence margin, rounded up; a segment whose active set overflows
-    just takes the exact dense branch for that segment.
+    the background fraction (capstone scene, bg 0.768: active 0.73 after
+    iter 1, 0.61 after 4, 0.47 after 7). Each segment gets a tight tier
+    from that decay plus a looser overflow tier from the early-training
+    bound; overflowing the tight tier costs one tier up, never a full-R
+    dense segment.
 
     Marching rays all intersect the bounding sphere, so ``intersect_frac``
     (see auto_fallback_capacity) additionally caps every segment — on
@@ -499,17 +500,22 @@ def auto_march_schedule(object_frac: float, granularity: float = 1 / 16,
         x = np.ceil(x / granularity) * granularity
         return float(np.clip(x, 2 * granularity, 1.0))
 
-    sched = [(1, cap(bg + 0.25)), (5, cap(bg + 0.05)),
-             (8, cap(0.75 * bg + 0.05))]
+    # tight tier from the measured trained-state decay (capstone scene,
+    # bg 0.768: 0.73 after iter 1 = 0.95*bg, 0.61 after 4 = 0.8*bg,
+    # 0.47 after 7 = 0.62*bg); over tier from the loose early-training
+    # bound. Overflowing the tight tier costs one tier up, never a
+    # full-R dense segment.
+    sched = [(1, 0.95 * bg + 0.03, bg + 0.25),
+             (5, 0.80 * bg + 0.03, bg + 0.05),
+             (8, 0.62 * bg + 0.03, 0.75 * bg + 0.05)]
     if intersect_frac is not None and cap(1.0) < 0.95:
-        sched.insert(0, (0, cap(1.0)))
+        sched.insert(0, (0, 1.0, 2.0))
     out = []
-    for s, f in sched:
-        if f < 0.95 and (not out or f < out[-1][1][0]):
-            # two-tier cascade: heuristic cap + a 2x overflow tier, so a
-            # borderline count costs one tier up, not a dense segment
-            over = cap(2 * f)
-            out.append((s, (f, over) if over > f and over < 0.95 else (f,)))
+    for s, tight, over in sched:
+        tight, over = cap(tight), cap(over)
+        if tight < 0.95 and (not out or tight < out[-1][1][0]):
+            out.append((s, (tight, over) if over > tight and over < 0.95
+                        else (tight,)))
     return tuple(out)
 
 

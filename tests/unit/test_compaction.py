@@ -149,10 +149,12 @@ def test_auto_march_schedule():
         assert all(0 < f < 0.95 for f in tiers)
     starts = [s for s, _ in sched]
     assert starts == sorted(starts) and len(set(starts)) == len(starts)
-    # capstone masked scene (object 0.38 / bg 0.62): the top tier must
-    # cover the measured active fractions (0.73 after iter 1, 0.61 after
-    # 4, 0.47 after 7 — scripts/march_decay.py)
-    top = {s: max(t) for s, t in auto_march_schedule(0.38)}
+    # masked scenes: the top (overflow) tier must cover the measured
+    # active fractions from the trained capstone checkpoint, bg 0.768
+    # (0.73 after iter 1, 0.61 after 4, 0.47 after 7 —
+    # scripts/march_decay.py); scaled to this scene's bg they stay below
+    # the bg+margin overflow bound by construction
+    top = {s: max(t) for s, t in auto_march_schedule(0.232)}
     assert top[1] >= 0.73 and top[5] >= 0.61 and top[8] >= 0.47
     # tight tiers never increase along the march and never exceed 1
     for frac in (1.0, 0.7, 0.38, 0.1):
