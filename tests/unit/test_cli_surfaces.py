@@ -98,6 +98,19 @@ def test_train_eval_cli_roundtrip(cli_env):
                    if l.startswith("v "))
     assert len(first_v.split()) == 7  # v x y z r g b
 
+    # free-viewpoint rendering (the reference's IDR_ONLY_CAM=1 mode):
+    # reuse the scene's own cameras as the novel path
+    eval_cli.main(["--data_dir", cli_env["scene"], "--conf",
+                   cli_env["conf"], "--expname", "clismoke",
+                   "--exps_folder", cli_env["exps"],
+                   "--evals_folder", cli_env["evals"],
+                   "--only_cam",
+                   os.path.join(cli_env["scene"], "cameras_hd.npz"),
+                   "--only_cam_size", "16,16"])
+    out2 = os.path.join(evaldir, "rendering2")
+    pngs = [f for f in os.listdir(out2) if f.endswith(".png")]
+    assert len(pngs) == 3
+
 
 def test_train_cli_errors(cli_env, tmp_path):
     from mvsdf_tpu.train import cli as train_cli
