@@ -260,29 +260,36 @@ def main(argv=None):
             print(f"render compaction: sampler (0.0625, 0.25), march "
                   f"{sched} (intersect {isect:.3f})")
 
-        @jax.jit
-        def _render(p, inputs):
-            return render_forward(cfg.model, p, inputs,
-                                  training=False).rgb_values
+        # one dispatch per IMAGE: lax.map drives the fixed-size chunks
+        # inside a single jitted program (a 10k-pixel chunk at DTU res
+        # means ~2k host->device dispatches per pass otherwise — ~30 ms
+        # each over the tunnel, PERF.md "Kernel facts")
+        n_chunks = -(-scene.total_pixels // chunk)
+        sel_all = np.concatenate(
+            [np.arange(scene.total_pixels),
+             np.zeros(n_chunks * chunk - scene.total_pixels, np.int64)]
+        ).reshape(n_chunks, chunk)
 
+        @jax.jit
+        def _render_image(p, uv_c, intr, pose, mask_c):
+            def body(c):
+                uv1, m1 = c
+                inputs = {"uv": uv1[None], "intrinsics": intr[None],
+                          "pose": pose[None], "object_mask": m1[None]}
+                return render_forward(cfg.model, p, inputs,
+                                      training=False).rgb_values[0]
+            return jax.lax.map(body, (uv_c, mask_c))
+
+        uv_chunks = jnp.asarray(scene.uv[sel_all])
         for idx in range(scene.n_images):
-            rgb_rows = []
-            for s in range(0, scene.total_pixels, chunk):
-                sel = np.arange(s, min(s + chunk, scene.total_pixels))
-                pad = chunk - len(sel)
-                selp = np.concatenate([sel, np.zeros(pad, sel.dtype)])
-                pose = (opt_poses[idx] if opt_poses is not None
-                        else scene.poses[idx])
-                inputs = {
-                    "uv": jnp.asarray(scene.uv[selp][None]),
-                    "intrinsics": jnp.asarray(scene.intrinsics[idx][None]),
-                    "pose": jnp.asarray(pose[None]),
-                    "object_mask": jnp.asarray(
-                        scene.masks[idx][selp][None]),
-                }
-                out = _render(params, inputs)
-                rgb_rows.append(np.asarray(out[0])[:len(sel)])
-            rgb = np.concatenate(rgb_rows, 0).reshape(H, W, 3)
+            pose = (opt_poses[idx] if opt_poses is not None
+                    else scene.poses[idx])
+            out = _render_image(params, uv_chunks,
+                                jnp.asarray(scene.intrinsics[idx]),
+                                jnp.asarray(pose),
+                                jnp.asarray(scene.masks[idx][sel_all]))
+            rgb = np.asarray(out).reshape(-1, 3)[:scene.total_pixels]
+            rgb = rgb.reshape(H, W, 3)
             rgb = (rgb + 1) / 2
             Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(
                 np.uint8)).save(
@@ -317,28 +324,29 @@ def _render_only_cam(args, cfg, params, evaldir):
     import jax
     chunk = min(args.chunk_pixels, H * W)
 
+    n_chunks = -(-H * W // chunk)
+    sel_all = np.concatenate(
+        [np.arange(H * W), np.zeros(n_chunks * chunk - H * W, np.int64)]
+    ).reshape(n_chunks, chunk)
+    uv_chunks = jnp.asarray(uv[sel_all])
+    mask_chunks = jnp.ones((n_chunks, chunk), bool)
+
     @jax.jit
-    def _render(p, inputs):
-        return render_forward(cfg.model, p, inputs,
-                              training=False).rgb_values
+    def _render_image(p, intr, pose):
+        def body(c):
+            uv1, m1 = c
+            inputs = {"uv": uv1[None], "intrinsics": intr[None],
+                      "pose": pose[None], "object_mask": m1[None]}
+            return render_forward(cfg.model, p, inputs,
+                                  training=False).rgb_values[0]
+        return jax.lax.map(body, (uv_chunks, mask_chunks))
 
     for i in range(n):
         P = (cams[f"world_mat_{i}"] @ cams[f"scale_mat_{i}"])[:3, :4]
         intr, pose = decompose_projection(P)
-        rows = []
-        for s in range(0, H * W, chunk):
-            sel = np.arange(s, min(s + chunk, H * W))
-            pad = chunk - len(sel)
-            selp = np.concatenate([sel, np.zeros(pad, sel.dtype)])
-            inputs = {
-                "uv": jnp.asarray(uv[selp][None]),
-                "intrinsics": jnp.asarray(intr[None]),
-                "pose": jnp.asarray(pose[None]),
-                "object_mask": jnp.ones((1, chunk), bool),
-            }
-            out = _render(params, inputs)
-            rows.append(np.asarray(out[0])[:len(sel)])
-        rgb = (np.concatenate(rows, 0).reshape(H, W, 3) + 1) / 2
+        out = _render_image(params, jnp.asarray(intr), jnp.asarray(pose))
+        rgb = (np.asarray(out).reshape(-1, 3)[:H * W]
+               .reshape(H, W, 3) + 1) / 2
         Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"eval_{i:03d}.png"))
     print(f"rendered {n} free viewpoints -> {out_dir}")
