@@ -138,8 +138,10 @@ def main(argv=None):
         scans = []
         for tok in args.scans.split(","):
             tok = tok.strip()
-            scans.append(tok if os.path.isdir(
-                os.path.join(args.data_root, tok)) else f"scan{tok}")
+            if (not os.path.isdir(os.path.join(args.data_root, tok))
+                    and not tok.startswith("scan")):
+                tok = f"scan{tok}"
+            scans.append(tok)
     else:
         scans = sorted((d for d in os.listdir(args.data_root)
                         if d.startswith("scan") and
