@@ -146,6 +146,31 @@ def config_from_hocon(path: str):
         sched_factor=float(train.get("sched_factor", 0.1)),
         plot_freq=_frac(train.get("plot_freq", "1/12"), 1 / 12))
 
+    # optional schedule{} block: the analog of swapping the reference's
+    # loss-schedule module via IDR_CONF/IDR_USE_ENV (conf.py:3-33,
+    # implicit_differentiable_renderer.py:15-17) — any Schedule field can
+    # be overridden from the conf file; unknown keys fail loud.
+    sched_conf = conf.get("schedule", {})
+    sched_kwargs = {}
+    defaults = Schedule()
+    for key, val in sched_conf.items():
+        if not hasattr(defaults, key):
+            raise ValueError(f"unknown schedule field {key!r} in {path}")
+        cur = getattr(defaults, key)
+        if isinstance(cur, tuple):
+            vals = val if isinstance(val, list) else [val]
+            sched_kwargs[key] = tuple(
+                _frac(v, None) if isinstance(v, str) else v for v in vals)
+        elif isinstance(cur, bool):
+            sched_kwargs[key] = bool(val)
+        elif isinstance(cur, float):
+            sched_kwargs[key] = _frac(val, None) if isinstance(val, str) \
+                else float(val)
+        elif isinstance(cur, int):
+            sched_kwargs[key] = int(val)
+        else:
+            sched_kwargs[key] = val
+
     return MVSDFConfig(model=ModelConfig(implicit=icfg, render=rcfg,
                                          tracer=tcfg),
-                       schedule=Schedule(), train=tr)
+                       schedule=Schedule(**sched_kwargs), train=tr)

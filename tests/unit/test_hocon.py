@@ -55,3 +55,42 @@ def test_parse_inline_and_nested():
     assert c["a"]["d"]["e"] == "hello"
     assert c["a"]["d"]["f"] is True
     assert c["g"] == 2.5e-3
+
+
+def test_schedule_block_overrides(tmp_path):
+    """schedule{} in the conf overrides Schedule fields — the analog of
+    the reference's IDR_CONF loss-schedule module swap (conf.py:3-33)."""
+    conf = tmp_path / "sched.conf"
+    conf.write_text("""
+    train{
+        num_pixels = 64
+    }
+    model{
+    }
+    schedule{
+        phase = [1/4, 3/4]
+        feat_weight = [0.0, 0.2, 0.02]
+        use_invalid = true
+        grad_cap = [1.0, 1.0, 0.25]
+        eikonal_weight = 0.05
+        out_thresh_perc = 1/4
+    }
+    """)
+    cfg = config_from_hocon(str(conf))
+    assert abs(cfg.schedule.phase[0] - 0.25) < 1e-9
+    assert abs(cfg.schedule.phase[1] - 0.75) < 1e-9
+    assert cfg.schedule.feat_weight == (0.0, 0.2, 0.02)
+    assert cfg.schedule.use_invalid is True
+    assert cfg.schedule.grad_cap == (1.0, 1.0, 0.25)
+    assert cfg.schedule.eikonal_weight == 0.05
+    assert abs(cfg.schedule.out_thresh_perc - 0.25) < 1e-9
+    # untouched fields keep the reference defaults
+    assert cfg.schedule.near_att == (1.0, 0.1, 0.01)
+
+
+def test_schedule_block_unknown_key(tmp_path):
+    conf = tmp_path / "bad.conf"
+    conf.write_text("train{\n}\nmodel{\n}\nschedule{\n nope = 1\n}\n")
+    import pytest
+    with pytest.raises(ValueError, match="nope"):
+        config_from_hocon(str(conf))
