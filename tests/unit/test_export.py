@@ -58,6 +58,15 @@ def test_export_roundtrip(tmp_path):
     assert not np.allclose(a, b)
 
 
+def test_export_cross_platform_lowering():
+    # the CLI default is platforms=cpu,tpu — the tpu lowering must not
+    # require an attached TPU at export time
+    cfg = _tiny_cfg()
+    blob = export_renderer(cfg, init_params(cfg, seed=0), chunk=32,
+                           platforms=("cpu", "tpu"))
+    assert callable(load_renderer(blob))
+
+
 def test_export_cli(tmp_path):
     from mvsdf_tpu.eval import export as export_cli
     out = tmp_path / "r.bin"
