@@ -69,6 +69,21 @@ class SceneData:
             self.intrinsics[i] = intr
             self.poses[i] = pose
 
+        # noisy linear-method pose initializations for camera optimization
+        # (ref get_pose_init, scene_dataset.py:270-287: REQUIRED there when
+        # train_cameras; here optional — GT poses are the documented
+        # fallback so synthetic fixtures still run)
+        lin_file = os.path.join(data_dir, "cameras_linear_init.npz")
+        if os.path.exists(lin_file):
+            lin = np.load(lin_file)
+            self.pose_init = np.zeros((self.n_images, 4, 4), np.float32)
+            for i in range(self.n_images):
+                P = (lin[f"world_mat_{i}"].astype(np.float32)
+                     @ lin[f"scale_mat_{i}"].astype(np.float32))[:3, :4]
+                _, self.pose_init[i] = decompose_projection(P)
+        else:
+            self.pose_init = self.poses
+
         rgbs = [formats.load_rgb(p) for p in image_paths]  # (3, H, W) each
         self.img_res = rgbs[0].shape[1:]
         H, W = self.img_res

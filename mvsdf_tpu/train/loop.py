@@ -58,7 +58,10 @@ class Trainer:
         self.steps = {}        # phase_idx -> jitted per-call step
         self.scan_steps = {}   # phase_idx -> jitted multi-step scan
         self.cache = None      # DeviceSceneCache, built lazily
-        pose_init = scene.poses if cfg.train.train_cameras else None
+        # linear-method init when the scene provides it (ref idr_train.py:
+        # 121-127 + get_pose_init); GT poses otherwise
+        pose_init = (getattr(scene, "pose_init", scene.poses)
+                     if cfg.train.train_cameras else None)
         self.state = init_train_state(cfg, seed=cfg.train.seed,
                                       pose_init=pose_init)
         self.rng = np.random.default_rng(cfg.train.seed)

@@ -205,3 +205,65 @@ def test_eval_cameras_requires_pose_checkpoint(scene_dir, tmp_path):
     ckpt.save_checkpoint(str(tmp_path / "ck"), 1, state)
     restored, _ = ckpt.restore_checkpoint(str(tmp_path / "ck"), None, state)
     assert restored.pose_vecs is None
+
+
+def test_linear_init_poses(scene_dir):
+    """cameras_linear_init.npz provides the camera-opt initialization when
+    present (ref get_pose_init, scene_dataset.py:270-287); GT poses are
+    the fallback."""
+    sd = SceneData(scene_dir, allow_random_features=True)
+    assert sd.pose_init is sd.poses  # no file -> GT fallback
+
+    # write a perturbed linear init (translate each camera by +0.05 x)
+    cams = np.load(os.path.join(scene_dir, "cameras_hd.npz"))
+    lin = {}
+    for i in range(sd.n_images):
+        w = cams[f"world_mat_{i}"].copy()
+        s = cams[f"scale_mat_{i}"].copy()
+        # shift the camera center: P = K [R | t], t' = t - R*(dx)
+        K_R_t = (w @ s)[:3, :4]
+        K_R_t = K_R_t.copy()
+        K_R_t[:, 3] -= K_R_t[:, 0] * 0.05
+        w2 = np.eye(4, dtype=np.float32)
+        w2[:3, :4] = K_R_t
+        lin[f"world_mat_{i}"] = w2
+        lin[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+    np.savez(os.path.join(scene_dir, "cameras_linear_init.npz"), **lin)
+    try:
+        sd2 = SceneData(scene_dir, allow_random_features=True)
+        assert not np.allclose(sd2.pose_init, sd2.poses)
+        # rotation part preserved, translation moved
+        assert np.allclose(sd2.pose_init[:, :3, :3], sd2.poses[:, :3, :3],
+                           atol=1e-4)
+        d = np.linalg.norm(sd2.pose_init[:, :3, 3] - sd2.poses[:, :3, 3],
+                           axis=1)
+        assert np.all(d > 1e-3)
+
+        # the trainer's camera state starts from the linear init
+        from mvsdf_tpu.train.cameras_opt import pose_vecs_from_matrices
+        want = pose_vecs_from_matrices(sd2.pose_init)
+        from mvsdf_tpu.config import (MVSDFConfig, ModelConfig, Schedule,
+                                      TrainConfig)
+        from mvsdf_tpu.fields.sdf import ImplicitConfig
+        from mvsdf_tpu.fields.radiance import RenderConfig
+        from mvsdf_tpu.tracing.sphere_trace import TracerConfig
+        cfg = MVSDFConfig(
+            model=ModelConfig(
+                implicit=ImplicitConfig(feature_vector_size=32,
+                                        dims=(32,) * 2, skip_in=(),
+                                        multires=4),
+                render=RenderConfig(feature_vector_size=32, dims=(32,),
+                                    multires_view=2),
+                tracer=TracerConfig(sphere_tracing_iters=3, n_steps=12,
+                                    n_secant_steps=2, sample_chunk=0)),
+            schedule=Schedule(),
+            train=TrainConfig(batch_size=3, num_pixels=32, nepochs=4,
+                              train_cameras=True))
+        from mvsdf_tpu.train.loop import Trainer
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            tr = Trainer(cfg, sd2, td, use_mesh=False)
+            got = np.asarray(tr.state.pose_vecs)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        os.remove(os.path.join(scene_dir, "cameras_linear_init.npz"))
