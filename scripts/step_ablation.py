@@ -62,13 +62,19 @@ def main():
     from tests.golden.scene_fixtures import make_scene
 
     cfg = MVSDFConfig(train=TrainConfig(batch_size=8, num_pixels=4096))
+    # mirror bench.py defaults: capacity cascades + bf16 activation storage
     tr = dataclasses.replace(cfg.model.tracer,
                              sampler_capacity_frac=0.25,
                              fill_capacity_frac=0.5,
-                             fallback_capacity_frac=0.5,
-                             march_compact_schedule=((0, 0.5), (1, 0.25)))
+                             fallback_capacity_frac=(0.1875, 0.375),
+                             march_compact_schedule=(
+                                 (0, (0.375, 0.5)),
+                                 (1, (0.1875, 0.25)),
+                                 (5, (0.0625, 0.125, 0.25))))
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-        cfg.model, use_pallas_trace=True, tracer=tr))
+        cfg.model, use_pallas_trace=True, tracer=tr,
+        implicit=dataclasses.replace(cfg.model.implicit,
+                                     bf16_activations=True)))
 
     scene = make_scene(n_images=8, n_pix=4096, feat_ch=32, img_hw=96,
                        depth_hw=48)
