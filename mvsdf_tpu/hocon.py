@@ -32,7 +32,14 @@ def _parse_value(tok: str):
         return float(t)
     if t.startswith('"') and t.endswith('"'):
         return t[1:-1]
-    return t  # bare string (incl. fractions like 4/6)
+    # Bare tokens are accepted only in shapes the reference confs use:
+    # identifiers (mode = idr, expname = mvsdf) and fractions (4/6).
+    # Anything else — typically a typo'd number like 1e-4x or 0.0.1 —
+    # fails loud here instead of flowing downstream as a string.
+    if re.fullmatch(r"[A-Za-z_][\w.\-]*", t) or \
+            re.fullmatch(r"[+-]?\d+\s*/\s*\d+", t):
+        return t
+    raise ValueError(f"cannot parse conf scalar: {t!r}")
 
 
 def parse_hocon(text: str) -> Dict[str, Any]:

@@ -104,7 +104,15 @@ def _dsurf_samples(cfg: ModelConfig, inputs, n_dsurf, key, noise):
             jitter_rad
     pts_jit = pts_norm + jn
     out = []
-    for p, k in ((pts_norm, k_on), (pts_jit, k_ji)):
+    for p, k, idx_key in ((pts_norm, k_on, "dsurf_on_idx"),
+                          (pts_jit, k_ji, "dsurf_jitter_idx")):
+        if noise and idx_key in noise:
+            # Golden-parity replay: global flat indices of the reference's
+            # np.random.choice draw (ref :244), mapped to this layout by the
+            # test harness. Selected rows are valid+inbound by construction.
+            idx = noise[idx_key]
+            out.append((p[idx], jnp.ones(idx.shape[0], bool)))
+            continue
         inb = jnp.sum((jnp.abs(p) < r).astype(jnp.float32), -1) > 2.9
         out.append(_sample_masked(p, valid & inb, n_dsurf, k))
     (on_pts, on_ok), (ji_pts, ji_ok) = out
@@ -229,7 +237,16 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
                       ("eik", eik_pts, jnp.ones((B, P // 2)))]
 
         if gates.use_dsurf:
-            key, k_ds = jax.random.split(key)
+            if key is not None:
+                key, k_ds = jax.random.split(key)
+            else:
+                # noise-replay mode must supply every dsurf draw
+                for nk in ("dsurf_jitter_noise", "dsurf_on_idx",
+                           "dsurf_jitter_idx"):
+                    if nk not in noise:
+                        raise ValueError(
+                            f"noise-replay dsurf sampling needs {nk!r}")
+                k_ds = jax.random.key(0)  # never consumed
             on_pts, on_ok, ji_pts, ji_ok = _dsurf_samples(
                 cfg, inputs, (B * P) // 2, k_ds, noise)
             group_list.append(("dsurf_on", on_pts.reshape(B, P // 2, 3),

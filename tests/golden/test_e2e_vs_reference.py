@@ -1,7 +1,18 @@
 """End-to-end golden test (BASELINE config 1): full renderer forward +
 five-term loss + parameter gradients vs the PyTorch reference, on a synthetic
-scene at train_progress=0.3 (phase B: no depth-surface sampling, so the only
-randomness — minimal-SDF steps and eikonal points — can be replayed exactly).
+scene — at one train_progress per phase:
+
+  tp=0.10  phase A: depth-surface sample groups active (ref
+           implicit_differentiable_renderer.py:226-253, conf.py:5-12) and
+           the RGB path runs with detached geometry (ref :324-338).
+  tp=0.30  phase B: all five losses, feat weight 0.1, near_att 0.1.
+  tp=0.80  phase C: feat weight 0.01, near_att 0.01 (ref conf.py:22-30).
+
+Every random draw of the reference is replayed exactly: the trace's
+minimal-SDF steps and the eikonal cube points (torch RNG), and in phase A
+additionally the dsurf jitter noise (torch) and the two
+np.random.choice(replace=False) subsample draws (numpy RNG), injected as
+global flat indices through the renderer's noise path.
 """
 import numpy as np
 import pytest
@@ -22,7 +33,7 @@ from mvsdf_tpu.tracing.sphere_trace import TracerConfig
 from mvsdf_tpu.rendering import render_forward
 from mvsdf_tpu.supervision.losses import total_loss
 
-TP = 0.3
+TPS = (0.10, 0.30, 0.80)  # one per phase A/B/C
 FEAT = 32
 
 
@@ -76,7 +87,62 @@ def setup():
     return ref, model, loss_mod, scene, params, cfg
 
 
-def _run_reference(ref, model, loss_mod, scene, seed=21):
+def _replay_noise(ref, scene, tp, seed, np_seed):
+    """Reconstruct every random draw the reference forward consumes, in
+    draw order (trace minimal-SDF steps -> eikonal points -> [phase A:
+    dsurf jitter -> np.random.choice x2]), and map the phase-A subsample
+    draws to global flat indices in our (B*V, h, w) layout."""
+    B, P = scene["uv"].shape[:2]
+    torch.manual_seed(seed)
+    steps = torch.empty(100).uniform_(0.0, 1.0).numpy()
+    eik = torch.empty(B * P // 2, 3).uniform_(-1.0, 1.0).numpy()
+    noise = {"minimal_steps": jnp.asarray(steps),
+             "eik_points": jnp.asarray(eik)}
+    if tp >= 1.0 / 6.0:
+        return noise
+
+    # phase A: replicate the reference's dsurf point construction (ref
+    # :231-247) with the reference's own projection utilities so that the
+    # valid/inbound masks — and therefore the choice-index mapping — are
+    # exact.
+    my = ref["my"]
+    depths = torch.from_numpy(np.asarray(scene["depths"]))
+    cams = torch.from_numpy(np.asarray(scene["depth_cams"]))
+    center = torch.from_numpy(np.asarray(scene["center"]))[:1]
+    size = torch.from_numpy(np.asarray(scene["size"]))[:1]
+    h, w = depths.shape[-2:]
+    depths_pack = depths.reshape(-1, 1, h, w)
+    cams_pack = cams.reshape(-1, 2, 4, 4)
+    grid = my.get_pixel_grids(h, w, False).unsqueeze(0)
+    pts_hom = my.idx_cam2world(
+        my.idx_img2cam(grid, depths_pack, cams_pack), cams_pack)
+    valid = depths_pack[:, 0] > 0                       # (N, h, w)
+    pts = pts_hom[valid][:, :3, 0]                      # (m, 3)
+    pts_norm = (pts - center) / size * 2.0
+    m = pts.shape[0]
+    jitter = torch.rand(m, 3) * 0.2 - 0.1               # ref :239
+    pts_jit = pts_norm + jitter
+
+    n_dsurf = B * P // 2
+    valid_global = np.flatnonzero(valid.numpy().reshape(-1))  # (m,)
+    np.random.seed(np_seed)
+    glob = {}
+    for name, p in (("dsurf_on_idx", pts_norm), ("dsurf_jitter_idx",
+                                                 pts_jit)):
+        inb = ((p.abs() < 1.0).float().sum(-1) > 2.9).numpy()
+        idx_in = np.sort(np.random.choice(int(inb.sum()), n_dsurf,
+                                          replace=False))
+        glob[name] = valid_global[np.flatnonzero(inb)][idx_in]
+
+    jn_full = np.zeros((valid.numel(), 3), np.float32)
+    jn_full[valid_global] = jitter.numpy()
+    noise["dsurf_jitter_noise"] = jnp.asarray(jn_full)
+    noise["dsurf_on_idx"] = jnp.asarray(glob["dsurf_on_idx"])
+    noise["dsurf_jitter_idx"] = jnp.asarray(glob["dsurf_jitter_idx"])
+    return noise
+
+
+def _run_reference(ref, model, loss_mod, scene, tp, seed=21, np_seed=77):
     t = {k: torch.from_numpy(np.asarray(v)) for k, v in scene.items()}
     model_input = {k: t[k] for k in
                    ["uv", "intrinsics", "pose", "object_mask", "depths",
@@ -86,24 +152,18 @@ def _run_reference(ref, model, loss_mod, scene, seed=21):
     gt = {k: t[k] for k in ["rgb", "depths", "depth_cams", "size", "center",
                             "feat", "feat_src", "cam", "src_cams"]}
     torch.manual_seed(seed)
-    out = model(model_input, TP)
-    losses = loss_mod(out, gt, TP, 2)
-    # replay the reference's random draws: the trace's minimal-SDF steps
-    # come first, then the eikonal cube points (renderer :218).
-    B, P = scene["uv"].shape[:2]
-    torch.manual_seed(seed)
-    steps = torch.empty(100).uniform_(0.0, 1.0).numpy()
-    eik = torch.empty(B * P // 2, 3).uniform_(-1.0, 1.0).numpy()
-    return out, losses, steps, eik
+    np.random.seed(np_seed)
+    out = model(model_input, tp)
+    losses = loss_mod(out, gt, tp, 2)
+    noise = _replay_noise(ref, scene, tp, seed, np_seed)
+    return out, losses, noise
 
 
-def _run_ours(scene, params, cfg, steps, eik):
+def _run_ours(scene, params, cfg, noise, tp):
     sched = Schedule()
-    gates = sched.gates(TP)
-    weights = sched.weights(TP)
+    gates = sched.gates(tp)
+    weights = sched.weights(tp)
     inputs = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}
-    noise = {"minimal_steps": jnp.asarray(steps),
-             "eik_points": jnp.asarray(eik)}
 
     def loss_fn(p):
         out = render_forward(cfg, p, inputs, training=True, gates=gates,
@@ -119,11 +179,40 @@ def _run_ours(scene, params, cfg, steps, eik):
     return out, lt, grads
 
 
-def test_forward_parity(setup):
+@pytest.fixture(scope="module")
+def runs(setup):
+    """Reference + ours, computed once per tp and cached for the module."""
     ref, model, loss_mod, scene, params, cfg = setup
-    ref_out, ref_losses, steps, eik = _run_reference(ref, model, loss_mod,
-                                                     scene)
-    out, lt, grads = _run_ours(scene, params, cfg, steps, eik)
+    cache = {}
+
+    def get(tp):
+        if tp not in cache:
+            ref_out, ref_losses, noise = _run_reference(
+                ref, model, loss_mod, scene, tp)
+            model.zero_grad()
+            ref_losses["loss"].backward(retain_graph=False)
+            ref_grads = {}
+            for net_name, torch_net in [
+                    ("implicit", model.implicit_network),
+                    ("render", model.rendering_network)]:
+                gl = []
+                l = 0
+                while hasattr(torch_net, f"lin{l}"):
+                    gv = getattr(torch_net, f"lin{l}").weight_v.grad
+                    gl.append(None if gv is None
+                              else gv.detach().numpy().copy())
+                    l += 1
+                ref_grads[net_name] = gl
+            out, lt, grads = _run_ours(scene, params, cfg, noise, tp)
+            cache[tp] = (ref_out, ref_losses, ref_grads, out, lt, grads)
+        return cache[tp]
+
+    return get
+
+
+@pytest.mark.parametrize("tp", TPS)
+def test_forward_parity(runs, tp):
+    ref_out, _, _, out, lt, grads = runs(tp)
 
     np.testing.assert_array_equal(
         np.asarray(out.network_object_mask).reshape(-1),
@@ -139,10 +228,33 @@ def test_forward_parity(setup):
         ref_out["rgb_values"].detach().numpy()[hit], atol=1e-3)
 
 
-def test_loss_parity(setup):
-    ref, model, loss_mod, scene, params, cfg = setup
-    _, ref_losses, steps, eik = _run_reference(ref, model, loss_mod, scene)
-    _, lt, _ = _run_ours(scene, params, cfg, steps, eik)
+@pytest.mark.parametrize("tp", TPS)
+def test_dsurf_group_parity(runs, tp):
+    """Phase A only: the injected-index dsurf groups carry exactly the
+    reference's sampled points (ref :226-253)."""
+    if tp >= 1.0 / 6.0:
+        pytest.skip("dsurf groups are phase-A only")
+    ref_out, _, _, out, _, _ = runs(tp)
+    # reference eikonal_points_hom layout: [rt_surf, eik, dsurf_on,
+    # dsurf_jitter] (ref :259-270); slice the two dsurf groups off the end.
+    pts_hom = ref_out["eikonal_points_hom"].detach().numpy()[0, :, :3, 0]
+    n_ds = out.groups["dsurf_on"]["points"].reshape(-1, 3).shape[0]
+    ref_ji = pts_hom[-n_ds:]
+    ref_on = pts_hom[-2 * n_ds:-n_ds]
+    np.testing.assert_allclose(
+        np.asarray(out.groups["dsurf_on"]["points"]).reshape(-1, 3),
+        ref_on, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.groups["dsurf_jitter"]["points"]).reshape(-1, 3),
+        ref_ji, atol=1e-5)
+    assert bool(np.all(np.asarray(out.groups["dsurf_on"]["mask"]) == 1.0))
+    assert bool(np.all(np.asarray(
+        out.groups["dsurf_jitter"]["mask"]) == 1.0))
+
+
+@pytest.mark.parametrize("tp", TPS)
+def test_loss_parity(runs, tp):
+    _, ref_losses, _, _, lt, _ = runs(tp)
     for name, ours in [("rgb_loss", lt.rgb_loss),
                        ("eikonal_loss", lt.eikonal_loss),
                        ("depth_loss", lt.depth_loss),
@@ -151,26 +263,19 @@ def test_loss_parity(setup):
                        ("loss", lt.loss)]:
         ref_v = float(ref_losses[name].detach())
         assert abs(float(ours) - ref_v) < 2e-3 + 1e-3 * abs(ref_v), \
-            f"{name}: ours={float(ours)} ref={ref_v}"
+            f"tp={tp} {name}: ours={float(ours)} ref={ref_v}"
 
 
-def test_param_gradient_parity(setup):
-    ref, model, loss_mod, scene, params, cfg = setup
-    _, ref_losses, steps, eik = _run_reference(ref, model, loss_mod, scene)
-    model.zero_grad()
-    ref_losses["loss"].backward()
-    _, _, grads = _run_ours(scene, params, cfg, steps, eik)
-
-    for net_name, torch_net in [("implicit", model.implicit_network),
-                                ("render", model.rendering_network)]:
+@pytest.mark.parametrize("tp", TPS)
+def test_param_gradient_parity(runs, tp):
+    _, _, ref_grads, _, _, grads = runs(tp)
+    for net_name in ("implicit", "render"):
         for l, layer_grads in enumerate(grads[net_name]):
-            lin = getattr(torch_net, f"lin{l}")
-            ref_gv = lin.weight_v.grad
+            ref_gv = ref_grads[net_name][l]
             if ref_gv is None:
                 continue
-            ref_gv = ref_gv.detach().numpy()
             ours_gv = np.asarray(layer_grads["v"]).T
             scale = np.abs(ref_gv).max() + 1e-8
             np.testing.assert_allclose(
                 ours_gv / scale, ref_gv / scale, atol=5e-3,
-                err_msg=f"{net_name} layer {l} weight_v grad")
+                err_msg=f"tp={tp} {net_name} layer {l} weight_v grad")

@@ -94,3 +94,26 @@ def test_schedule_block_unknown_key(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="nope"):
         config_from_hocon(str(conf))
+
+
+def test_typod_scalar_fails_loud():
+    """A typo'd numeric scalar must raise at parse time, not flow through
+    as a string (VERDICT r2 weak #6)."""
+    import pytest
+    from mvsdf_tpu.hocon import parse_hocon
+    for bad in ("lr = 1e-4x", "lr = 0.0.1", "lr = 2..5"):
+        with pytest.raises(ValueError, match="scalar"):
+            parse_hocon("train{\n %s\n}\n" % bad)
+    # legitimate bare tokens still parse
+    ok = parse_hocon("train{\n expname = mvsdf\n f = 4/6\n mode = idr\n}\n")
+    assert ok["train"]["expname"] == "mvsdf"
+    assert ok["train"]["f"] == "4/6"
+
+
+def test_marching_type_hints_resolve():
+    """eval/marching.py annotations must resolve under get_type_hints
+    (VERDICT r2 weak #7: Optional used without import)."""
+    import typing
+    from mvsdf_tpu.eval import marching
+    hints = typing.get_type_hints(marching.marching_tetrahedra)
+    assert "native" in hints
