@@ -44,6 +44,12 @@ class ImplicitConfig:
     # FLOP-bound. Off by default (golden parity tests pin the f32 path);
     # quality-validated before any pipeline turns it on (PERF.md).
     bf16_activations: bool = False
+    # Hand-derived custom VJP for value+spatial-gradient (fused_grad.py):
+    # the gradient-output cotangent is computed via the mixed-derivative
+    # (jvp) identity with stacked cotangent matmuls and z-only residuals,
+    # instead of letting JAX transpose the vjp pullback. Same math
+    # (golden-parity-tested); faster supervised backward.
+    fused_value_grad: bool = True
 
     @property
     def layer_dims(self) -> Tuple[int, ...]:
@@ -142,8 +148,13 @@ def sdf_value_and_grad(cfg: ImplicitConfig, params, x):
 
 def full_value_and_grad(cfg: ImplicitConfig, params, x):
     """Returns (full output (..., 2+F), sdf grad (..., 3)) sharing ONE
-    forward pass (the vjp's linearization) between the value and the
-    spatial gradient — the hot supervised-path combination."""
+    forward pass between the value and the spatial gradient — the hot
+    supervised-path combination. With cfg.fused_value_grad the whole
+    value+grad (and its parameter backward) runs through the hand-derived
+    custom VJP in fused_grad.py; otherwise jax.vjp + autodiff transpose."""
+    if cfg.fused_value_grad:
+        from .fused_grad import fused_full_value_and_grad
+        return fused_full_value_and_grad(cfg, params, x)
     out, pullback = jax.vjp(lambda p: implicit_apply(cfg, params, p), x)
     ct = jnp.zeros_like(out).at[..., 0].set(1.0)
     (g,) = pullback(ct)
