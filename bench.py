@@ -100,6 +100,14 @@ def main():
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
         _progress("march compaction: on")
+    if os.environ.get("MVSDF_BENCH_FUSEDGRAD", "0") == "1":
+        # hand-derived custom VJP for the supervised value+spatial-gradient
+        # path (fields/fused_grad.py); measured 5% slower than XLA autodiff
+        # on v5e (PERF.md round 3), so off by default — env for A/B timing
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, implicit=dataclasses.replace(
+                cfg.model.implicit, fused_value_grad=True)))
+        _progress("fused value+grad VJP: on")
     if os.environ.get("MVSDF_BENCH_BF16ACT", "1") == "1":
         # bf16 activation storage in the supervised MLP (same bf16
         # multiply / f32 accumulate as DEFAULT matmul precision; halves

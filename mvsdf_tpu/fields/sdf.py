@@ -48,8 +48,11 @@ class ImplicitConfig:
     # the gradient-output cotangent is computed via the mixed-derivative
     # (jvp) identity with stacked cotangent matmuls and z-only residuals,
     # instead of letting JAX transpose the vjp pullback. Same math
-    # (golden-parity-tested); faster supervised backward.
-    fused_value_grad: bool = True
+    # (golden-parity-tested) but measured 5% SLOWER than XLA's autodiff
+    # transpose on v5e (bench A/B 404.6k vs 384.6k rays/s — the stacked
+    # matmuls defeat fusion XLA already does), so OFF by default; kept as
+    # a validated option and a reference derivation.
+    fused_value_grad: bool = False
 
     @property
     def layer_dims(self) -> Tuple[int, ...]:
