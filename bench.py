@@ -72,16 +72,26 @@ def main():
             pallas_in_kernel_pe=inkpe, use_pallas_secant=secant))
         _progress(f"pallas trace kernel: on (fused march: {march}, "
                   f"in-kernel PE: {inkpe}, fused secant: {secant})")
+    if os.environ.get("MVSDF_BENCH_FILLSKIP", "1") == "1":
+        # skip the training-mode min-SDF miss fill — its outputs are dead
+        # in the training step (TracerConfig.fill_misses: losses+grads
+        # bit-identical, tested); mirrors the train CLI default
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, tracer=dataclasses.replace(
+                cfg.model.tracer, fill_misses=False)))
+        _progress("miss fill: skipped (dead compute in the train step)")
     if os.environ.get("MVSDF_BENCH_COMPACT", "1") == "1":
         # fallback-stage compaction cascade (exact; next tier / dense on
         # overflow). Fixture active set: 33.2% of rays intersect the
         # bounding sphere (the hard geometric bound on the fallback),
-        # measured active 0.314 at init -> top tier 0.375; the 0.1875
-        # tier engages as training shrinks the miss set.
+        # measured active 0.314 at init (sampler+fill) -> top tier 0.375;
+        # with the fill skipped only the march-unfinished sampler rays
+        # remain, so tighter tiers engage as training converges.
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
                                  fill_capacity_frac=0.5,
-                                 fallback_capacity_frac=(0.1875, 0.375))
+                                 fallback_capacity_frac=(0.0625, 0.1875,
+                                                         0.375))
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
         _progress("fallback compaction: on")

@@ -82,6 +82,20 @@ class TracerConfig:
     # iteration — the march is FLOP-bound, so this is a near-proportional
     # saving (PERF.md).
     march_compact_schedule: Tuple[Tuple[int, Any], ...] = ()
+    # Training-mode miss filling (ref ray_tracing.py:86-94, 280-308). The
+    # fill's outputs — points/dists of non-hit rays — are provably DEAD in
+    # the reference's training step: loss.py consumes no row of 'points' /
+    # 'sdf_output' at non-hit rays (every term multiplies those lanes by an
+    # exactly-zero mask; see losses.py), and the plot path runs eval-mode
+    # forwards where the fill never executes (idr_train.py:200-233 +
+    # ray_tracing.py:68-71). False skips the fill's n_steps-sample SDF
+    # evaluation: losses and gradients are BIT-IDENTICAL (tested in
+    # tests/unit/test_fill_skip.py), only the unconsumed miss-lane
+    # points/dists change. On masked scenes the fill covers most rays
+    # (0.62 of all rays on the round-2 capstone scene vs 0.21 for the
+    # sampler), so this is the dominant trace saving there. True keeps
+    # the reference-parity fill for golden tests and plot-path probing.
+    fill_misses: bool = True
 
 
 class TraceResult(NamedTuple):
@@ -384,7 +398,8 @@ def _unified_fallback(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
 
 def auto_fallback_capacity(object_frac: float, sampler_margin: float = 0.30,
                            granularity: float = 1 / 16,
-                           intersect_frac: Optional[float] = None) -> float:
+                           intersect_frac: Optional[float] = None,
+                           fill_misses: bool = True) -> float:
     """Scene-aware capacity for the unified fallback stage.
 
     The fallback's active set is (march-unfinished rays) ∪ (every
@@ -410,8 +425,16 @@ def auto_fallback_capacity(object_frac: float, sampler_margin: float = 0.30,
     intersect vs all-ones masks).
 
     object_frac: mean of the scene's object masks over all images/pixels.
+    fill_misses: False = the trace skips the min-SDF fill (see
+    TracerConfig.fill_misses), so the active set is ONLY the
+    march-unfinished sampler rays — the static out-of-mask term vanishes
+    and the capacity is the sampler margin under the intersect bound.
     """
-    if intersect_frac is not None:
+    if not fill_misses:
+        frac = sampler_margin
+        if intersect_frac is not None:
+            frac = min(frac, intersect_frac + granularity)
+    elif intersect_frac is not None:
         # the hard bound: active ⊆ intersecting rays, +granularity slack
         frac = intersect_frac + granularity
     else:
@@ -424,7 +447,8 @@ def auto_fallback_capacity(object_frac: float, sampler_margin: float = 0.30,
 
 def auto_fallback_cascade(object_frac: float, sampler_margin: float = 0.30,
                           granularity: float = 1 / 16,
-                          intersect_frac: Optional[float] = None):
+                          intersect_frac: Optional[float] = None,
+                          fill_misses: bool = True):
     """Capacity cascade for the unified fallback.
 
     Top tier: the guaranteed static bound (sphere-intersect fraction when
@@ -432,12 +456,29 @@ def auto_fallback_cascade(object_frac: float, sampler_margin: float = 0.30,
     half the top) engage automatically once training shrinks the miss set
     (the surface forms, fill rays become hits). Exact at every tier —
     overflow falls through to the next tier / dense.
+
+    fill_misses=False (the fill-skipping trace, TracerConfig.fill_misses):
+    the active set is only the march-unfinished rays — tiers are fractions
+    of the sampler margin under the intersect bound, plus the intersect
+    bound itself as the overflow tier (dense beyond it is impossible in
+    exact arithmetic but kept as the cascade's safety property).
     """
     top = auto_fallback_capacity(object_frac, sampler_margin, granularity,
-                                 intersect_frac)
+                                 intersect_frac, fill_misses=fill_misses)
     if top >= 1.0:
         return (1.0,)
     tiers = {top}
+    if not fill_misses:
+        half = float(max(np.ceil(top / 2 / granularity) * granularity,
+                         2 * granularity))
+        if half < top:
+            tiers.add(half)
+        if intersect_frac is not None:
+            over = auto_fallback_capacity(object_frac, sampler_margin,
+                                          granularity, intersect_frac)
+            if 1.0 > over > top:
+                tiers.add(over)
+        return tuple(sorted(tiers))
     if intersect_frac is not None:
         mask_tier = auto_fallback_capacity(object_frac, sampler_margin,
                                            granularity)
@@ -618,7 +659,10 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
         in_mask = ~net_obj_mask & object_mask & ~sampler_mask
         out_mask = ~object_mask & ~sampler_mask
         left_out = (in_mask | out_mask) & ~mask_intersect
-        fill = (in_mask | out_mask) & mask_intersect
+        if cfg.fill_misses:
+            fill = (in_mask | out_mask) & mask_intersect
+        else:  # dead-compute skip: see TracerConfig.fill_misses
+            fill = jnp.zeros_like(sampler_mask)
         min_dis = jnp.where(net_obj_mask & out_mask, dists, min_dis)
         if minimal_steps is None:
             if key is None:
@@ -696,6 +740,9 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     dists = jnp.where(left_out, t_proj, dists)
 
     # Remaining misses: min-SDF point along the ray (ref :86-94, 280-308).
+    if not cfg.fill_misses:  # dead-compute skip: see TracerConfig.fill_misses
+        return TraceResult(points, net_obj_mask, dists, sampler_mask,
+                           mask_intersect)
     fill = (in_mask | out_mask) & mask_intersect
     min_dis = jnp.where(net_obj_mask & out_mask, dists, min_dis)
     if minimal_steps is None:

@@ -62,6 +62,13 @@ def main(argv=None):
                          "like DEFAULT matmul precision; ~6%% faster "
                          "steps; 600-epoch study: PSNR 23.0 vs 22.91, "
                          "chamfer 0.0105 vs 0.0097 — see PERF.md)")
+    ap.add_argument("--keep_fill", action="store_true",
+                    help="keep the reference's training-mode min-SDF miss "
+                         "fill (ref ray_tracing.py:86-94). Its outputs are "
+                         "dead in the training step (losses+gradients are "
+                         "bit-identical without it — see "
+                         "TracerConfig.fill_misses), so it is skipped by "
+                         "default")
     ap.add_argument("--allow_random_features", action="store_true",
                     help="proceed with RANDOM FeatExt CNN weights when the "
                          "pretrained VisMVSNet checkpoint "
@@ -118,6 +125,15 @@ def main(argv=None):
             cfg.model, implicit=dataclasses.replace(
                 cfg.model.implicit, bf16_activations=True)))
 
+    if not args.keep_fill:
+        # Skip the training-mode min-SDF miss fill: its outputs are dead in
+        # the training step (TracerConfig.fill_misses docstring has the
+        # proof; losses+gradients bit-identical, tested). On masked scenes
+        # it is most of the fallback work.
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, tracer=dataclasses.replace(
+                cfg.model.tracer, fill_misses=False)))
+
     if args.pallas:
         # Fused Pallas SDF kernels + unified-fallback compaction. The
         # capacity is sized from the scene's mask statistics: every
@@ -133,7 +149,8 @@ def main(argv=None):
                                  scene.uv.shape)
         isect = ray_intersect_fraction(uv_all, scene.intrinsics,
                                        scene.poses)
-        cap = auto_fallback_cascade(obj_frac, intersect_frac=isect)
+        cap = auto_fallback_cascade(obj_frac, intersect_frac=isect,
+                                    fill_misses=args.keep_fill)
         march_sched = auto_march_schedule(obj_frac, intersect_frac=isect)
         print(f"fallback capacity cascade: {cap}, march schedule "
               f"{march_sched} (object mask frac {obj_frac:.3f}, "
