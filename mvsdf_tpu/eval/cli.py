@@ -68,6 +68,8 @@ def main(argv=None):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from ..compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from ..config import MVSDFConfig

@@ -23,6 +23,21 @@ from ..geometry import projections as proj
 from .carving import carving
 
 
+def _safe_norm(x, axis=-1, eps=1e-18):
+    """L2 norm whose backward is finite at the zero vector.
+
+    ``jnp.linalg.norm``'s vjp is x/||x|| — NaN at ||x||=0 — and a NaN
+    survives multiplication by a zero mask cotangent, poisoning the whole
+    gradient. torch's norm defines the subgradient 0 there, so the
+    reference never hits this; out-of-range grid samples (exact zero
+    feature vectors, masked out of the loss) did, discarding 976/1800
+    updates on the round-3 capstone before this guard. Bit-identical to
+    the plain norm whenever sum(x^2) > eps (the max passes sq through
+    untouched)."""
+    sq = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(sq, eps))
+
+
 class LossTerms(NamedTuple):
     loss: jnp.ndarray
     rgb_loss: jnp.ndarray
@@ -53,7 +68,7 @@ def eikonal_loss(groups, gates: Gates):
             continue
         g = grp["grad"]
         m = grp["mask"]
-        term = (jnp.linalg.norm(g, axis=-1) - 1.0) ** 2
+        term = (_safe_norm(g) - 1.0) ** 2
         num = num + jnp.sum(term * m)
         den = den + jnp.sum(m)
     return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
@@ -134,8 +149,8 @@ def feat_consistency_loss(diff_surf_pts, hit_mask, feat, cam, feat_src,
         g_ref, inr_ref = project_sample(f_ref, c_ref)
         g_srcs, inr_srcs = jax.vmap(project_sample)(f_srcs, c_srcs)
 
-        n_ref = jnp.linalg.norm(g_ref, axis=-1)
-        n_src = jnp.linalg.norm(g_srcs, axis=-1)
+        n_ref = _safe_norm(g_ref)
+        n_src = _safe_norm(g_srcs)
         corr = jnp.sum(g_ref[None] * g_srcs, axis=-1) / \
             jnp.clip(n_ref[None], 1e-9) / jnp.clip(n_src, 1e-9)
         corr_loss = jnp.abs(1.0 - corr)               # (S, P)

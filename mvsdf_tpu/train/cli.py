@@ -81,6 +81,8 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    from ..compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import dataclasses
     from ..config import MVSDFConfig, TrainConfig
