@@ -118,6 +118,13 @@ def main():
             cfg.model, implicit=dataclasses.replace(
                 cfg.model.implicit, fused_value_grad=True)))
         _progress("fused value+grad VJP: on")
+    if os.environ.get("MVSDF_BENCH_SUPCOMPACT", "1") == "1":
+        # supervised-path compaction: rt_surf group + shading run only on
+        # surface-hit lanes (exact; dense on overflow). Fixture hit set is
+        # bounded by the 0.332 sphere-intersect fraction.
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, supervised_compact_frac=(0.25, 0.375)))
+        _progress("supervised compaction: on")
     if os.environ.get("MVSDF_BENCH_BF16ACT", "1") == "1":
         # bf16 activation storage in the supervised MLP (same bf16
         # multiply / f32 accumulate as DEFAULT matmul precision; halves

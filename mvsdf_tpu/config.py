@@ -161,6 +161,17 @@ class ModelConfig:
     # (input stream 8 lanes instead of 128); interpret-verified, off until
     # profiled faster on real TPU.
     pallas_in_kernel_pe: bool = False
+    # Supervised-path compaction (training renderer): the rt_surf sample
+    # group and the shading pass read only surface-hit lanes (every
+    # consumer multiplies non-hit lanes by an exactly-zero mask), so both
+    # are gathered into a fixed-capacity block before the live-gradient
+    # MLP calls — the backward is then automatically compacted too.
+    # Fractions of B*P build a capacity cascade (tightest fitting tier
+    # runs; dense on overflow — exact either way, same machinery as the
+    # trace-side _compact_call). () = dense (reference-parity default).
+    # Single-chip optimization: the gather crosses ray-shard boundaries,
+    # leave () on multi-chip meshes.
+    supervised_compact_frac: Tuple[float, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

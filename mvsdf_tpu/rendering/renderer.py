@@ -254,25 +254,60 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             group_list.append(("dsurf_jitter", ji_pts.reshape(B, P // 2, 3),
                                ji_ok.reshape(B, P // 2).astype(jnp.float32)))
 
-        # ONE batched linearized forward for every sample group (the
-        # reference runs them as separate MLP calls, ref :256,275): groups
-        # are concatenated along the ray axis — per-row results are
-        # identical, and on TPU one large matmul chain beats 2-4 small
-        # ones in both launches and MXU utilization.
-        widths = [p.shape[1] for _, p, _ in group_list]
-        all_pts = jnp.concatenate([p for _, p, _ in group_list], axis=1)
-        all_out, all_g = full_value_and_grad(icfg, params["implicit"],
-                                             all_pts)
-        groups = {}
-        off = 0
-        for (name, pts, mask), wdt in zip(group_list, widths):
-            sl = slice(off, off + wdt)
-            groups[name] = {"points": pts, "sdf": all_out[:, sl, 0],
-                            "grad": all_g[:, sl], "mask": mask}
-            off += wdt
-        full_out = all_out[:, :P]
-        g_rt = all_g[:, :P]
-        eik_out = all_out[:, P:P + P // 2]
+        comp_fracs = cfg.supervised_compact_frac
+        if comp_fracs:
+            # Supervised compaction: every consumer of the rt_surf group
+            # multiplies non-surface lanes by an exactly-zero mask (see
+            # ModelConfig.supervised_compact_frac), so the live-gradient
+            # forward (and, through AD, its backward) runs only on
+            # surface lanes gathered into a fixed block; zero rows are
+            # scattered back for the masked lanes. Cascade/dense-overflow
+            # semantics identical to the trace-side compaction.
+            from ..tracing.sphere_trace import _compact_call
+            N = B * P
+            caps = tuple(max(128, int(N * f)) for f in comp_fracs)
+            F2 = 2 + icfg.feature_vector_size
+            act_flat = surface_mask.reshape(N)
+            o_flat, gr_flat = _compact_call(
+                lambda p: full_value_and_grad(icfg, params["implicit"], p),
+                act_flat, caps, [points.reshape(N, 3)],
+                [jnp.zeros((N, F2)), jnp.zeros((N, 3))])
+            full_out = o_flat.reshape(B, P, F2)
+            g_rt = gr_flat.reshape(B, P, 3)
+            groups = {"rt_surf": {
+                "points": points, "sdf": full_out[..., 0], "grad": g_rt,
+                "mask": surface_mask.astype(jnp.float32)}}
+            rest = group_list[1:]
+            rest_pts = jnp.concatenate([p for _, p, _ in rest], axis=1)
+            rest_out, rest_g = full_value_and_grad(icfg, params["implicit"],
+                                                   rest_pts)
+            off = 0
+            for name, pts, mask in rest:
+                sl = slice(off, off + pts.shape[1])
+                groups[name] = {"points": pts, "sdf": rest_out[:, sl, 0],
+                                "grad": rest_g[:, sl], "mask": mask}
+                off += pts.shape[1]
+            eik_out = rest_out[:, :P // 2]
+        else:
+            # ONE batched linearized forward for every sample group (the
+            # reference runs them as separate MLP calls, ref :256,275):
+            # groups are concatenated along the ray axis — per-row results
+            # are identical, and on TPU one large matmul chain beats 2-4
+            # small ones in both launches and MXU utilization.
+            widths = [p.shape[1] for _, p, _ in group_list]
+            all_pts = jnp.concatenate([p for _, p, _ in group_list], axis=1)
+            all_out, all_g = full_value_and_grad(icfg, params["implicit"],
+                                                 all_pts)
+            groups = {}
+            off = 0
+            for (name, pts, mask), wdt in zip(group_list, widths):
+                sl = slice(off, off + wdt)
+                groups[name] = {"points": pts, "sdf": all_out[:, sl, 0],
+                                "grad": all_g[:, sl], "mask": mask}
+                off += wdt
+            full_out = all_out[:, :P]
+            g_rt = all_g[:, :P]
+            eik_out = all_out[:, P:P + P // 2]
         sdf_output = full_out[..., 0]
 
         # Surface-indicator logits (ref :272): traced hits inside the true
@@ -295,15 +330,41 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
 
     # --- shading (ref get_rbg_value :324-338) -----------------------------
     view = -ray_dirs
-    rgb_out, normals = full_value_and_grad(icfg, params["implicit"],
-                                           diff_surf_pts)
-    features = rgb_out[..., 2:]
-    pts_in, nrm_in, view_in = diff_surf_pts, normals, view
-    if (training and gates.detach_geometry_for_rgb) or cfg.disable_rgb_grad:
-        pts_in, nrm_in, view_in = map(jax.lax.stop_gradient,
-                                      (pts_in, nrm_in, view_in))
-    rgb = render_apply(rcfg, params["render"], pts_in, nrm_in, view_in,
-                       features)
+    detach_geo = (training and gates.detach_geometry_for_rgb) or \
+        cfg.disable_rgb_grad
+    if training and cfg.supervised_compact_frac:
+        # Shading reads only surface lanes too (rgb_values is pinned to 1
+        # elsewhere and the rgb/feat losses mask by the hit set): compact
+        # the SDF re-evaluation + rendering MLP the same way.
+        from ..tracing.sphere_trace import _compact_call
+        N = B * P
+        caps = tuple(max(128, int(N * f))
+                     for f in cfg.supervised_compact_frac)
+
+        def _shade(p, v):
+            out_s, nrm = full_value_and_grad(icfg, params["implicit"], p)
+            feats = out_s[..., 2:]
+            pi, ni, vi = p, nrm, v
+            if detach_geo:
+                pi, ni, vi = map(jax.lax.stop_gradient, (pi, ni, vi))
+            return (render_apply(rcfg, params["render"], pi, ni, vi,
+                                 feats),)
+
+        (rgb_flat,) = _compact_call(
+            _shade, surface_mask.reshape(N), caps,
+            [diff_surf_pts.reshape(N, 3), view.reshape(N, 3)],
+            [jnp.zeros((N, 3))])
+        rgb = rgb_flat.reshape(B, P, 3)
+    else:
+        rgb_out, normals = full_value_and_grad(icfg, params["implicit"],
+                                               diff_surf_pts)
+        features = rgb_out[..., 2:]
+        pts_in, nrm_in, view_in = diff_surf_pts, normals, view
+        if detach_geo:
+            pts_in, nrm_in, view_in = map(jax.lax.stop_gradient,
+                                          (pts_in, nrm_in, view_in))
+        rgb = render_apply(rcfg, params["render"], pts_in, nrm_in, view_in,
+                           features)
     rgb_values = jnp.where(surface_mask[..., None], rgb, 1.0)
 
     return RenderOut(

@@ -492,6 +492,27 @@ def auto_fallback_cascade(object_frac: float, sampler_margin: float = 0.30,
     return tuple(sorted(tiers))
 
 
+def auto_supervised_cascade(intersect_frac: Optional[float] = None,
+                            granularity: float = 1 / 16):
+    """Capacity ladder for the supervised-path compaction
+    (ModelConfig.supervised_compact_frac). The compacted set is the
+    surface-hit lanes, which is bounded above by the sphere-intersect
+    fraction (a non-intersecting ray can never be a hit) but otherwise
+    scene- and training-state-dependent (early training: nearly every
+    intersecting ray hits the init sphere; converged: the object mask
+    plus whatever real background geometry exists). A generic quarters
+    ladder capped by the intersect bound lets the runtime cascade pick
+    the tightest fitting tier each step. The intersect fraction is a HARD
+    bound (a hit requires a sphere crossing), so the cap takes no slack —
+    the bound tier can never overflow. Returns () when no tier < 0.9
+    exists (compaction pointless)."""
+    bound = 1.0
+    if intersect_frac is not None:
+        bound = float(np.ceil(intersect_frac / granularity) * granularity)
+    tiers = sorted({min(t, bound) for t in (0.25, 0.5, 0.75)})
+    return tuple(t for t in tiers if t < 0.9)
+
+
 def ray_intersect_fraction(uv, intrinsics, pose, radius: float = 1.0,
                            max_rays: int = 200_000) -> float:
     """Fraction of pixel rays that intersect the bounding sphere — the

@@ -145,6 +145,7 @@ def main(argv=None):
         # shard_map_trace on a mesh; plain single-chip otherwise.
         from ..tracing.sphere_trace import (auto_fallback_cascade,
                                             auto_march_schedule,
+                                            auto_supervised_cascade,
                                             ray_intersect_fraction)
         obj_frac = float(np.mean(scene.masks))
         uv_all = np.broadcast_to(scene.uv[None], (scene.n_images,) +
@@ -154,8 +155,14 @@ def main(argv=None):
         cap = auto_fallback_cascade(obj_frac, intersect_frac=isect,
                                     fill_misses=args.keep_fill)
         march_sched = auto_march_schedule(obj_frac, intersect_frac=isect)
+        # the supervised gather crosses ray-shard boundaries, so it is a
+        # single-device optimization (the trace compaction runs per-device
+        # under shard_map instead)
+        sup = auto_supervised_cascade(intersect_frac=isect) \
+            if len(jax.devices()) == 1 else ()
         print(f"fallback capacity cascade: {cap}, march schedule "
-              f"{march_sched} (object mask frac {obj_frac:.3f}, "
+              f"{march_sched}, supervised cascade {sup} "
+              f"(object mask frac {obj_frac:.3f}, "
               f"sphere-intersect frac {isect:.3f})")
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
@@ -164,6 +171,7 @@ def main(argv=None):
                                  march_compact_schedule=march_sched)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, shard_map_trace=True,
+            supervised_compact_frac=sup,
             # Mosaic kernels need the TPU backend; on cpu (smoke runs)
             # fall back to interpret mode
             pallas_interpret=jax.devices()[0].platform == "cpu",

@@ -1,0 +1,90 @@
+"""Supervised-path compaction (ModelConfig.supervised_compact_frac) must be
+output-equivalent: the rt_surf sample group and the shading pass read only
+surface-hit lanes, so gathering them into a fixed block before the live-
+gradient MLP calls changes no loss value and no gradient beyond the
+roundoff of re-tiled matmul reductions."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvsdf_tpu.config import MVSDFConfig, ModelConfig, Schedule, TrainConfig
+from mvsdf_tpu.fields.sdf import ImplicitConfig
+from mvsdf_tpu.fields.radiance import RenderConfig
+from mvsdf_tpu.tracing.sphere_trace import TracerConfig
+from mvsdf_tpu.rendering.renderer import render_forward
+from mvsdf_tpu.supervision.losses import total_loss
+from mvsdf_tpu.train.step import init_train_state
+from tests.golden.scene_fixtures import make_scene
+
+B, P = 2, 64
+
+
+def _cfg(comp):
+    return MVSDFConfig(
+        model=ModelConfig(
+            implicit=ImplicitConfig(feature_vector_size=16, dims=(32,) * 3,
+                                    skip_in=(2,), multires=4),
+            render=RenderConfig(feature_vector_size=16, dims=(32,),
+                                multires_view=2),
+            tracer=TracerConfig(sphere_tracing_iters=8, n_steps=16,
+                                n_secant_steps=3, sample_chunk=0),
+            supervised_compact_frac=comp),
+        schedule=Schedule(),
+        train=TrainConfig(batch_size=B, num_pixels=P))
+
+
+def _run(comp, tp, batch, key):
+    cfg = _cfg(comp)
+    state = init_train_state(cfg, seed=0)
+    gates = cfg.schedule.gates(tp)
+    w = cfg.schedule.weights(tp)
+
+    def loss_fn(params):
+        out = render_forward(cfg.model, params, batch, training=True,
+                             gates=gates, key=key)
+        lt = total_loss(out, batch, gates, cfg.schedule, w)
+        return lt.loss, out
+
+    (loss, out), g = jax.jit(jax.value_and_grad(loss_fn,
+                                                has_aux=True))(state.params)
+    flat = np.concatenate([np.asarray(l).ravel()
+                           for l in jax.tree_util.tree_leaves(g)])
+    return np.asarray(loss), flat, out
+
+
+@pytest.mark.parametrize("tp", [0.10, 0.30])
+@pytest.mark.parametrize("comp", [(0.75,), (0.25, 0.75)])
+def test_compact_matches_dense(tp, comp):
+    batch = {k: jnp.asarray(np.asarray(v)) for k, v in make_scene(
+        n_images=B, n_pix=P, feat_ch=8, img_hw=32, depth_hw=16).items()}
+    key = jax.random.PRNGKey(5)
+    loss_d, g_d, out_d = _run((), tp, batch, key)
+    loss_c, g_c, out_c = _run(comp, tp, batch, key)
+    hit = np.asarray(out_d.network_object_mask)
+    assert hit.any() and not hit.all()  # fixture exercises both lanes
+    np.testing.assert_allclose(loss_c, loss_d, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(g_c, g_d, rtol=2e-4, atol=1e-6)
+    # rgb at hit lanes identical values (same rows through the same MLP)
+    np.testing.assert_allclose(np.asarray(out_c.rgb_values)[hit],
+                               np.asarray(out_d.rgb_values)[hit],
+                               rtol=2e-6, atol=1e-7)
+
+
+def test_overflow_falls_back_dense():
+    """A capacity below the hit count must take the dense branch and stay
+    equivalent (cascade safety property)."""
+    batch = {k: jnp.asarray(np.asarray(v)) for k, v in make_scene(
+        n_images=B, n_pix=P, feat_ch=8, img_hw=32, depth_hw=16).items()}
+    key = jax.random.PRNGKey(5)
+    loss_d, g_d, out_d = _run((), 0.30, batch, key)
+    n_hit = int(np.asarray(out_d.network_object_mask).sum())
+    assert n_hit > 1
+    # _compact_call floors capacities at 128 rows; with B*P=128 a frac
+    # below n_hit/(B*P) still builds cap=128 >= N and runs dense — which
+    # is exactly the overflow semantics being asserted
+    loss_c, g_c, _ = _run((max(1, n_hit - 1) / (B * P),), 0.30, batch, key)
+    np.testing.assert_allclose(loss_c, loss_d, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(g_c, g_d, rtol=2e-4, atol=1e-6)
