@@ -262,10 +262,13 @@ def main(argv=None):
             print(f"render compaction: sampler (0.0625, 0.25), march "
                   f"{sched} (intersect {isect:.3f})")
 
-        # one dispatch per IMAGE: lax.map drives the fixed-size chunks
-        # inside a single jitted program (a 10k-pixel chunk at DTU res
-        # means ~2k host->device dispatches per pass otherwise — ~30 ms
-        # each over the tunnel, PERF.md "Kernel facts")
+        # ONE jitted program per fixed chunk shape, dispatched per chunk
+        # from a host loop. A lax.map over chunks (one dispatch per image)
+        # deterministically crashes the TPU compiler (SIGILL in
+        # TpuPriorityFusionQueue::NormalizedComputationCost) when n_chunks
+        # > 1 — the outer map nests over the trace's internal sample-axis
+        # lax.map. Host-looped dispatches pipeline on the device, so the
+        # per-dispatch overhead overlaps with compute.
         n_chunks = -(-scene.total_pixels // chunk)
         sel_all = np.concatenate(
             [np.arange(scene.total_pixels),
@@ -273,24 +276,24 @@ def main(argv=None):
         ).reshape(n_chunks, chunk)
 
         @jax.jit
-        def _render_image(p, uv_c, intr, pose, mask_c):
-            def body(c):
-                uv1, m1 = c
-                inputs = {"uv": uv1[None], "intrinsics": intr[None],
-                          "pose": pose[None], "object_mask": m1[None]}
-                return render_forward(cfg.model, p, inputs,
-                                      training=False).rgb_values[0]
-            return jax.lax.map(body, (uv_c, mask_c))
+        def _render_chunk(p, uv1, intr, pose, m1):
+            inputs = {"uv": uv1[None], "intrinsics": intr[None],
+                      "pose": pose[None], "object_mask": m1[None]}
+            return render_forward(cfg.model, p, inputs,
+                                  training=False).rgb_values[0]
 
         uv_chunks = jnp.asarray(scene.uv[sel_all])
         for idx in range(scene.n_images):
             pose = (opt_poses[idx] if opt_poses is not None
                     else scene.poses[idx])
-            out = _render_image(params, uv_chunks,
-                                jnp.asarray(scene.intrinsics[idx]),
-                                jnp.asarray(pose),
-                                jnp.asarray(scene.masks[idx][sel_all]))
-            rgb = np.asarray(out).reshape(-1, 3)[:scene.total_pixels]
+            intr_d = jnp.asarray(scene.intrinsics[idx])
+            pose_d = jnp.asarray(pose)
+            mask_chunks_d = jnp.asarray(scene.masks[idx][sel_all])
+            out = [_render_chunk(params, uv_chunks[c], intr_d, pose_d,
+                                 mask_chunks_d[c])
+                   for c in range(n_chunks)]
+            rgb = np.concatenate([np.asarray(o) for o in out])
+            rgb = rgb.reshape(-1, 3)[:scene.total_pixels]
             rgb = rgb.reshape(H, W, 3)
             rgb = (rgb + 1) / 2
             Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(
@@ -333,21 +336,24 @@ def _render_only_cam(args, cfg, params, evaldir):
     uv_chunks = jnp.asarray(uv[sel_all])
     mask_chunks = jnp.ones((n_chunks, chunk), bool)
 
+    # host-looped chunk dispatches (an outer lax.map over >1 chunks
+    # crashes the TPU compiler — see the eval_rendering path)
     @jax.jit
-    def _render_image(p, intr, pose):
-        def body(c):
-            uv1, m1 = c
-            inputs = {"uv": uv1[None], "intrinsics": intr[None],
-                      "pose": pose[None], "object_mask": m1[None]}
-            return render_forward(cfg.model, p, inputs,
-                                  training=False).rgb_values[0]
-        return jax.lax.map(body, (uv_chunks, mask_chunks))
+    def _render_chunk(p, uv1, m1, intr, pose):
+        inputs = {"uv": uv1[None], "intrinsics": intr[None],
+                  "pose": pose[None], "object_mask": m1[None]}
+        return render_forward(cfg.model, p, inputs,
+                              training=False).rgb_values[0]
 
     for i in range(n):
         P = (cams[f"world_mat_{i}"] @ cams[f"scale_mat_{i}"])[:3, :4]
         intr, pose = decompose_projection(P)
-        out = _render_image(params, jnp.asarray(intr), jnp.asarray(pose))
-        rgb = (np.asarray(out).reshape(-1, 3)[:H * W]
+        intr_d, pose_d = jnp.asarray(intr), jnp.asarray(pose)
+        out = np.concatenate(
+            [np.asarray(_render_chunk(params, uv_chunks[c], mask_chunks[c],
+                                      intr_d, pose_d))
+             for c in range(n_chunks)])
+        rgb = (out.reshape(-1, 3)[:H * W]
                .reshape(H, W, 3) + 1) / 2
         Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"eval_{i:03d}.png"))
