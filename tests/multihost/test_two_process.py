@@ -27,6 +27,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_matches_single_controller(tmp_path):
     port = _free_port()
     env = dict(os.environ)

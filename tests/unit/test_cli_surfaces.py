@@ -64,6 +64,7 @@ def cli_env(tmp_path_factory):
             "exps": str(root / "exps"), "evals": str(root / "evals")}
 
 
+@pytest.mark.slow
 def test_train_eval_cli_roundtrip(cli_env):
     from mvsdf_tpu.train import cli as train_cli
     from mvsdf_tpu.eval import cli as eval_cli

@@ -2,6 +2,7 @@
 export the eval-mode renderer, deserialize it, and check the artifact
 reproduces the live render exactly — with a DIFFERENT parameter pytree
 than the one traced (the artifact is checkpoint-independent)."""
+import pytest
 import dataclasses
 
 import numpy as np
@@ -16,6 +17,9 @@ from mvsdf_tpu.eval.export import (export_renderer, load_renderer,
 from mvsdf_tpu.train.step import init_params
 from tests.golden.scene_fixtures import make_scene
 
+
+
+pytestmark = pytest.mark.slow  # AOT export roundtrip
 
 def _tiny_cfg():
     feat = 16

@@ -114,6 +114,7 @@ def test_render_field_shapes_and_range():
     assert float(jnp.abs(rgb).max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_bf16_activations_close_to_f32():
     """bf16 activation storage must keep outputs, spatial grads, and param
     grads within bf16-rounding distance of the f32 path (PERF.md quality

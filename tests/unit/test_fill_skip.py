@@ -52,7 +52,8 @@ def _leaves(tree):
                            for l in jax.tree_util.tree_leaves(tree)])
 
 
-@pytest.mark.parametrize("tp", [0.10, 0.30])
+@pytest.mark.parametrize("tp", [pytest.param(0.10, marks=pytest.mark.slow),
+                                0.30])
 def test_loss_and_gradients_bit_identical(tp):
     """The exactness claim itself: loss AND every parameter-gradient leaf
     are bit-identical with the fill on or off."""
@@ -78,8 +79,10 @@ def test_loss_and_gradients_bit_identical(tp):
     np.testing.assert_array_equal(results[True][1], results[False][1])
 
 
-@pytest.mark.parametrize("tp,fallback_frac", [(0.10, 0.0), (0.30, 0.0),
-                                              (0.30, 0.5)])
+@pytest.mark.parametrize("tp,fallback_frac", [
+    pytest.param(0.10, 0.0, marks=pytest.mark.slow),
+    (0.30, 0.0),
+    pytest.param(0.30, 0.5, marks=pytest.mark.slow)])
 def test_full_step_equivalent_with_and_without_fill(tp, fallback_frac):
     """Through the full jitted step (clip+Adam) the two variants are
     distinct XLA programs whose internal gradient-matmul tilings may
@@ -103,6 +106,7 @@ def test_full_step_equivalent_with_and_without_fill(tp, fallback_frac):
     np.testing.assert_allclose(params_on, params_off, rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_miss_lane_points_differ_and_hits_identical():
     """Sensitivity: the skip must actually change the (unconsumed)
     miss-lane points, while hit lanes and the hit mask stay identical."""

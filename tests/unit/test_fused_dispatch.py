@@ -17,6 +17,9 @@ from mvsdf_tpu.train.loop import Trainer
 from tests.unit.test_scene_dir_integration import write_scene_dir
 
 
+
+pytestmark = pytest.mark.slow  # fused-dispatch integration runs whole trainings
+
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):
     return write_scene_dir(str(tmp_path_factory.mktemp("data")),

@@ -15,6 +15,9 @@ from mvsdf_tpu.fields.sdf import (ImplicitConfig, init_implicit,
                                   implicit_apply, full_value_and_grad)
 
 
+
+pytestmark = pytest.mark.slow  # guards the non-default fused_value_grad option
+
 def _cfg(**kw):
     base = dict(feature_vector_size=8, dims=(32, 32, 32, 32), skip_in=(2,),
                 multires=4, bias=0.6, fused_value_grad=True)

@@ -8,6 +8,7 @@ subgradient 0 there — reference parity). The round-3 capstone discarded
 samples return exact-zero feature vectors whose norm backward was 0/0.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,7 @@ def test_safe_norm_zero_vector_grad_finite():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_feat_loss_grad_finite_with_out_of_range_points():
     """Points projecting outside the feature map sample exact zeros; the
     lane is masked out of the loss but its gradient chain must be finite."""

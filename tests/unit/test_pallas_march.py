@@ -1,4 +1,5 @@
 """Fused march kernel (interpret mode) vs the XLA _sphere_trace."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def _intersect(org, dirs, r=1.0):
     return mi, tn, tf
 
 
+@pytest.mark.slow
 def test_fused_march_matches_xla_march():
     icfg = ImplicitConfig(feature_vector_size=16, dims=(64,) * 3,
                           skip_in=(2,), multires=6, bias=0.6)

@@ -1,5 +1,6 @@
 """The use_pallas_trace renderer path (interpret mode on CPU) must agree
 with the jnp path end to end."""
+import pytest
 import dataclasses
 
 import numpy as np
@@ -15,6 +16,9 @@ from mvsdf_tpu.train.step import init_params
 from mvsdf_tpu.config import MVSDFConfig
 
 from tests.golden.scene_fixtures import make_scene
+
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas render path
 
 FEAT = 16
 

@@ -99,6 +99,7 @@ def test_scene_data_loads(scene_dir):
     assert len(srcs) == 2
 
 
+@pytest.mark.slow
 def test_trainer_runs_on_disk_scene(scene_dir, tmp_path):
     import dataclasses
     from mvsdf_tpu.config import (MVSDFConfig, ModelConfig, Schedule,
@@ -130,6 +131,7 @@ def test_trainer_runs_on_disk_scene(scene_dir, tmp_path):
     assert os.path.exists(str(tmp_path / "exp" / "metrics.jsonl"))
 
 
+@pytest.mark.slow
 def test_camera_opt_checkpoint_roundtrip_and_accuracy(scene_dir, tmp_path):
     """pose_vecs/cam_opt persist through checkpoints (ref saves
     CamParameters/*.pth, idr_train.py:188-199) and the restored poses

@@ -2,6 +2,7 @@
 the field on a synthetic multi-view sphere scene (10 fibonacci-sphere
 cameras, analytic depth maps) and require the zero level set to land on the
 target surface with sub-voxel accuracy."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,9 @@ from mvsdf_tpu.eval.mesh import biggest_component
 from mvsdf_tpu.eval.psnr import chamfer_points
 
 from tests.golden.scene_fixtures import make_scene_fibonacci
+
+
+pytestmark = pytest.mark.slow  # end-to-end reconstruction quality
 
 RADIUS = 0.45
 FEAT = 16

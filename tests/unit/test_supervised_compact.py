@@ -55,8 +55,10 @@ def _run(comp, tp, batch, key):
     return np.asarray(loss), flat, out
 
 
-@pytest.mark.parametrize("tp", [0.10, 0.30])
-@pytest.mark.parametrize("comp", [(0.75,), (0.25, 0.75)])
+@pytest.mark.parametrize("tp", [pytest.param(0.10, marks=pytest.mark.slow),
+                                0.30])
+@pytest.mark.parametrize("comp", [pytest.param((0.75,), marks=pytest.mark.slow),
+                                  (0.25, 0.75)])
 def test_compact_matches_dense(tp, comp):
     batch = {k: jnp.asarray(np.asarray(v)) for k, v in make_scene(
         n_images=B, n_pix=P, feat_ch=8, img_hw=32, depth_hw=16).items()}
