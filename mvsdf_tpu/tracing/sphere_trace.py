@@ -500,17 +500,25 @@ def auto_supervised_cascade(intersect_frac: Optional[float] = None,
     fraction (a non-intersecting ray can never be a hit) but otherwise
     scene- and training-state-dependent (early training: nearly every
     intersecting ray hits the init sphere; converged: the object mask
-    plus whatever real background geometry exists). A generic quarters
-    ladder capped by the intersect bound lets the runtime cascade pick
-    the tightest fitting tier each step. The intersect fraction is a HARD
-    bound (a hit requires a sphere crossing), so the cap takes no slack —
-    the bound tier can never overflow. Returns () when no tier < 0.9
-    exists (compaction pointless)."""
-    bound = 1.0
-    if intersect_frac is not None:
-        bound = float(np.ceil(intersect_frac / granularity) * granularity)
-    tiers = sorted({min(t, bound) for t in (0.25, 0.5, 0.75)})
-    return tuple(t for t in tiers if t < 0.9)
+    plus whatever real background geometry exists — measured hit 0.6 on
+    the capstone scene whose MASK is 0.232, because the ground plane is
+    genuine geometry). The intersect fraction is a HARD bound (a hit
+    requires a sphere crossing), so a bound tier can never overflow.
+
+    Compaction only engages when that guaranteed bound is < 0.5:
+    measured on v5e, a capstone whose hit fraction sat at ~0.6 ran 9%
+    SLOWER with a (0.25, 0.5, 0.75) cascade (median 165.1k vs 180.6k
+    rays/s dense) — gathering 75% of rows costs more than the 25% row
+    saving — while the wide-FoV bench fixture (bound 0.375) gains 6%
+    (PERF.md round 3). Returns () when the bound cannot guarantee the
+    win."""
+    if intersect_frac is None:
+        return ()
+    bound = float(np.ceil(intersect_frac / granularity) * granularity)
+    if bound >= 0.5:
+        return ()
+    tiers = sorted({min(t, bound) for t in (0.25, 0.5)})
+    return tuple(max(t, 2 * granularity) for t in tiers)
 
 
 def ray_intersect_fraction(uv, intrinsics, pose, radius: float = 1.0,
