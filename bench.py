@@ -32,14 +32,11 @@ def _progress(msg):
 
 def main():
     import os
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from mvsdf_tpu.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # one shared cache with the CLIs/scripts
     # DEFAULT = single-pass bf16 multiplies with f32 accumulation: the
     # 600-epoch quality study (PERF.md) shows chamfer/PSNR equal-or-better
     # than tensorfloat32, at +9% step throughput. Override via

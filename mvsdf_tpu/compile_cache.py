@@ -8,26 +8,36 @@ cache turns every repeat compile — re-runs, resumes, eval after train,
 the per-plot eval renders, and DTU-suite scans sharing shapes — into a
 sub-second cache hit.
 
-Layout: ``MVSDF_COMPILE_CACHE`` env var if set, else ``.jax_cache/`` next
-to the package (the same directory bench.py and scripts/ already use).
-``MVSDF_COMPILE_CACHE=0`` disables.
+Layout: ``MVSDF_COMPILE_CACHE`` env var if set, else
+``JAX_COMPILATION_CACHE_DIR`` if set (the standard jax env var — keeps
+external tooling and this module pointed at ONE cache), else ``.jax_cache/``
+next to the package when that location is writable (repo checkouts), else
+``~/.cache/mvsdf/jax_cache`` (site-packages installs can be read-only or
+shared). ``MVSDF_COMPILE_CACHE=0`` disables.
 """
 from __future__ import annotations
 
 import os
 
 
+def _default_cache_dir() -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.access(repo_root, os.W_OK):
+        return os.path.join(repo_root, ".jax_cache")
+    return os.path.join(os.path.expanduser("~"), ".cache", "mvsdf",
+                        "jax_cache")
+
+
 def enable_persistent_cache() -> str | None:
     """Point jax at the shared persistent compile cache. Call before the
     first compilation; safe to call more than once. Returns the cache dir
     (None when disabled)."""
-    loc = os.environ.get("MVSDF_COMPILE_CACHE")
+    loc = os.environ.get("MVSDF_COMPILE_CACHE") \
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if loc == "0":
         return None
     if not loc:
-        loc = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache")
+        loc = _default_cache_dir()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", loc)

@@ -32,6 +32,7 @@ from ..geometry.cameras import get_camera_params
 from ..geometry import projections as proj
 from ..tracing.sphere_trace import trace_rays
 from .implicit_diff import differentiable_surface_points
+from ..compaction import compact_call as _compact_call
 
 
 class RenderOut(NamedTuple):
@@ -263,7 +264,6 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             # surface lanes gathered into a fixed block; zero rows are
             # scattered back for the masked lanes. Cascade/dense-overflow
             # semantics identical to the trace-side compaction.
-            from ..tracing.sphere_trace import _compact_call
             N = B * P
             caps = tuple(max(128, int(N * f)) for f in comp_fracs)
             F2 = 2 + icfg.feature_vector_size
@@ -336,7 +336,6 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
         # Shading reads only surface lanes too (rgb_values is pinned to 1
         # elsewhere and the rgb/feat losses mask by the hit set): compact
         # the SDF re-evaluation + rendering MLP the same way.
-        from ..tracing.sphere_trace import _compact_call
         N = B * P
         caps = tuple(max(128, int(N * f))
                      for f in cfg.supervised_compact_frac)

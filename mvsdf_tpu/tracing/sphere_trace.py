@@ -29,12 +29,13 @@ Stages (ref line numbers):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, NamedTuple, Optional, Tuple, Union
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..compaction import compact_call
 
 
 @dataclasses.dataclass(frozen=True)
@@ -589,52 +590,9 @@ def auto_march_schedule(object_frac: float, granularity: float = 1 / 16,
     return tuple(out)
 
 
-def _compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
-    """Run ``fn`` (mapping per-ray input arrays -> tuple of per-ray outputs)
-    only on mask-selected rays gathered into a fixed-capacity block,
-    scattering results back into full-size arrays; falls back to the dense
-    computation when more rays are active than fit. Exact either way.
-
-    ``capacity`` may be a single int or an ascending tuple of ints — a
-    CASCADE: at runtime the tightest tier that fits the active count runs
-    (nested lax.cond; only one branch executes). The cascade adapts within
-    a single compiled program as the active set shrinks over training
-    (e.g. the fallback's miss set contracts as the surface forms).
-
-    per_ray_inputs: flat (R, ...) arrays; out_builders: zero arrays defining
-    output shapes/dtypes ((R, ...) each).
-    """
-    R = mask.shape[0]
-    caps = tuple(capacity) if isinstance(capacity, (tuple, list)) \
-        else (capacity,)
-    caps = tuple(sorted(c for c in caps if c < R))
-    if not caps:
-        # capacity covers every ray: run dense directly, no gather/scatter
-        # or cond (scenes whose mask stats make compaction pointless —
-        # see auto_fallback_capacity)
-        return tuple(fn(*per_ray_inputs))
-    count = jnp.sum(mask)
-    order = jnp.argsort(~mask, stable=True)
-
-    def dense(_):
-        return tuple(fn(*per_ray_inputs))
-
-    def compact_at(cap):
-        def compact(_):
-            idx = order[:cap]
-            sub = [a[idx] for a in per_ray_inputs]
-            outs = fn(*sub)
-            return tuple(base.at[idx].set(o)
-                         for base, o in zip(out_builders, outs))
-        return compact
-
-    branch = dense
-    for cap in reversed(caps):
-        branch = functools.partial(
-            lambda cap, nxt, _: jax.lax.cond(count <= cap, compact_at(cap),
-                                             nxt, 0),
-            cap, branch)
-    return branch(0)
+# Shared with the renderer's supervised compaction; the old private name is
+# kept as an alias for existing callers/tests.
+_compact_call = compact_call
 
 
 def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,

@@ -52,18 +52,30 @@ def _leaves(tree):
                            for l in jax.tree_util.tree_leaves(tree)])
 
 
-@pytest.mark.parametrize("tp", [pytest.param(0.10, marks=pytest.mark.slow),
-                                0.30])
-def test_loss_and_gradients_bit_identical(tp):
+@pytest.mark.parametrize(
+    "tp,use_mask",
+    [pytest.param(0.10, False, marks=pytest.mark.slow),
+     (0.30, False),
+     # use_mask=True with a PARTIAL mask exercises the out_mask fill lanes
+     # (~object_mask & ~sampler), the dominant fill set on masked scenes
+     (0.30, True)])
+def test_loss_and_gradients_bit_identical(tp, use_mask):
     """The exactness claim itself: loss AND every parameter-gradient leaf
     are bit-identical with the fill on or off."""
     from mvsdf_tpu.supervision.losses import total_loss
 
     batch = _batch()
+    if use_mask:
+        rng = np.random.default_rng(5)
+        om = rng.uniform(size=(B, P)) < 0.5
+        om[:, :4] = True  # keep a few in-mask lanes per image
+        batch["object_mask"] = jax.numpy.asarray(om)
+        # both fill branches must actually run on this fixture: out-of-mask
+        # lanes exist by construction, in-mask non-hit lanes checked below
     key = jax.random.PRNGKey(7)
     results = {}
     for fill in (True, False):
-        cfg = _cfg(fill_misses=fill)
+        cfg = _cfg(fill_misses=fill, use_mask=use_mask)
         state = init_train_state(cfg, seed=0)
         gates = cfg.schedule.gates(tp)
         w = cfg.schedule.weights(tp)
