@@ -127,7 +127,16 @@ def _frozen_trace(cfg: ModelConfig, params_sg, org, dirs, object_mask,
     march_fn = None
     secant_fn = None
     if cfg.use_pallas_trace:
+        import dataclasses as _dc
         from ..tracing.pallas import pack_sdf_weights, pallas_sdf_apply
+        # The sample-axis lax.map chunking exists to bound the XLA path's
+        # per-layer (N, 512) HBM activations; the Pallas kernel streams
+        # block-sized tiles with weights VMEM-resident, so chunking only
+        # serializes one big launch into cfg.n_steps/chunk dependent small
+        # ones. Run the fallback's full (rays, n_steps) evaluation as ONE
+        # kernel launch (bit-identical rows either way).
+        if tcfg.sample_chunk:
+            tcfg = _dc.replace(tcfg, sample_chunk=0)
         packed = pack_sdf_weights(icfg, params_sg["implicit"])
         sdf_frozen = lambda x: pallas_sdf_apply(
             icfg, packed, x, block=cfg.pallas_block,
