@@ -1,6 +1,7 @@
 """Worker for the real two-process jax.distributed test.
 
 Usage: python two_proc_worker.py <coordinator_port> <process_id> <out.json>
+       [fullsize]
 
 Each of the two processes hosts 4 simulated CPU devices; together they
 form one 8-device global mesh. Runs the tiny fused-dispatch scan
@@ -23,15 +24,20 @@ def main():
     assert len(jax.local_devices()) == 4
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from dryrun_common import run_tiny_scan
+    from dryrun_common import run_tiny_scan, run_fullsize_step
     from mvsdf_tpu.parallel import make_mesh
 
     mesh = make_mesh()  # all 8 global devices
-    loss = run_tiny_scan(mesh)
+    if len(sys.argv) > 4 and sys.argv[4] == "fullsize":
+        loss, gnorm = run_fullsize_step(mesh)
+        payload = {"process": pid, "n_devices": len(jax.devices()),
+                   "loss": [loss], "grad_norm": gnorm}
+    else:
+        loss = run_tiny_scan(mesh)
+        payload = {"process": pid, "n_devices": len(jax.devices()),
+                   "loss": [float(x) for x in loss]}
     with open(out_path, "w") as f:
-        json.dump({"process": pid,
-                   "n_devices": len(jax.devices()),
-                   "loss": [float(x) for x in loss]}, f)
+        json.dump(payload, f)
     jax.distributed.shutdown()
 
 
