@@ -34,6 +34,14 @@ def compact_call(fn, mask, capacity: Union[int, Sequence[int]],
     a single compiled program as the active set shrinks over training
     (e.g. the trace fallback's miss set contracts as the surface forms).
 
+    Layout note (measured, round 4): the nested-cond-with-per-tier-scatter
+    form below BEATS both a single lax.switch whose tiers pad outputs to
+    the top tier with one scatter outside (+3.6 ms/step device-busy) and a
+    switch with per-tier scatters (+2.2 ms) on the full-size v5e train
+    step — XLA schedules nested conds well, and the padded layouts pay
+    more in builder gathers/concats than the cond-output copies they
+    remove (scripts/compaction_ab.py, PERF.md round 4).
+
     per_ray_inputs: flat (R, ...) arrays; out_builders: zero arrays defining
     output shapes/dtypes ((R, ...) each).
     """

@@ -69,6 +69,11 @@ def main(argv=None):
                          "bit-identical without it — see "
                          "TracerConfig.fill_misses), so it is skipped by "
                          "default")
+    ap.add_argument("--no_supervised_compact", action="store_true",
+                    help="force the supervised path dense even when the "
+                         "sphere-intersect bound would engage "
+                         "auto_supervised_cascade (A/B arm for the "
+                         "win-regime validation, PERF.md round 4)")
     ap.add_argument("--allow_random_features", action="store_true",
                     help="proceed with RANDOM FeatExt CNN weights when the "
                          "pretrained VisMVSNet checkpoint "
@@ -160,6 +165,8 @@ def main(argv=None):
         # under shard_map instead)
         sup = auto_supervised_cascade(intersect_frac=isect) \
             if len(jax.devices()) == 1 else ()
+        if args.no_supervised_compact:
+            sup = ()
         print(f"fallback capacity cascade: {cap}, march schedule "
               f"{march_sched}, supervised cascade {sup} "
               f"(object mask frac {obj_frac:.3f}, "

@@ -77,6 +77,7 @@ class Trainer:
         # one pending (epochs, device-metrics, rays, t_dispatch) chunk so
         # metric fetches trail the dispatch by one program
         self._pending = None
+        self._full_render_fn = None  # jitted chunk renderer, built lazily
         self._last_fetch_t = None
 
     def maybe_resume(self, step=None):
@@ -306,25 +307,40 @@ class Trainer:
                 title=f"epoch {epoch}")
 
         if full:
-            from ..rendering import render_forward
             from ..eval.plots import plot_image_grid
             idx = int(self.rng.integers(self.scene.n_images))
-            rows = []
-            for s in range(0, self.scene.total_pixels, chunk_pixels):
-                sel = np.arange(s, min(s + chunk_pixels,
-                                       self.scene.total_pixels))
-                inputs = {
-                    "uv": jnp.asarray(self.scene.uv[sel][None]),
-                    "intrinsics": jnp.asarray(
-                        self.scene.intrinsics[idx][None]),
-                    "pose": jnp.asarray(self.scene.poses[idx][None]),
-                    "object_mask": jnp.asarray(
-                        self.scene.masks[idx][sel][None]),
-                }
-                out = render_forward(self.cfg.model, params, inputs,
-                                     training=False)
-                rows.append(np.asarray(out.rgb_values[0]))
-            rgb = np.concatenate(rows, 0)[None]
+            # ONE jitted fixed-chunk program (pad the tail), cached on the
+            # runner and dispatched from a host loop — the round-3 form ran
+            # render_forward EAGERLY per chunk, compiling hundreds of tiny
+            # op-programs that each fall under the persistent cache's
+            # min-compile-time threshold: ~220 s once per process at the
+            # first full render (PERF.md round 4, VERDICT r3 #3).
+            total = self.scene.total_pixels
+            chunk = min(chunk_pixels, total)
+            n_chunks = -(-total // chunk)
+            sel_all = np.concatenate(
+                [np.arange(total),
+                 np.zeros(n_chunks * chunk - total, np.int64)]
+            ).reshape(n_chunks, chunk)
+            if self._full_render_fn is None:
+                from ..rendering import render_forward
+
+                @jax.jit
+                def _render_chunk(p, uv1, intr, pose, m1):
+                    inputs = {"uv": uv1[None], "intrinsics": intr[None],
+                              "pose": pose[None], "object_mask": m1[None]}
+                    return render_forward(self.cfg.model, p, inputs,
+                                          training=False).rgb_values[0]
+
+                self._full_render_fn = _render_chunk
+            uv_chunks = jnp.asarray(self.scene.uv[sel_all])
+            intr_d = jnp.asarray(self.scene.intrinsics[idx])
+            pose_d = jnp.asarray(self.scene.poses[idx])
+            mask_chunks = jnp.asarray(self.scene.masks[idx][sel_all])
+            out = [self._full_render_fn(params, uv_chunks[c], intr_d,
+                                        pose_d, mask_chunks[c])
+                   for c in range(n_chunks)]
+            rgb = np.concatenate([np.asarray(o) for o in out])[:total][None]
             plot_image_grid(
                 os.path.join(self.plots_dir, f"rendering_{epoch}.png"),
                 rgb, self.scene.rgb[idx][None], self.scene.img_res)

@@ -1,0 +1,218 @@
+"""Compaction-plumbing A/B: nested-cond cascade (round-3) vs single-switch
+with padded tier outputs + one outer full-size cond (round-4 rewrite of
+mvsdf_tpu/compaction.py).
+
+Protocol: ALTERNATING 10-step windows per arm in one process (tunnel drift
+hits both arms equally); one-step bit-equality assertion between arms first
+(the rewrite must be a pure materialization-layout change).
+
+Run solo:  timeout 2400 python scripts/compaction_ab.py
+"""
+import dataclasses
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def old_compact_call(fn, mask, capacity, per_ray_inputs, out_builders):
+    """Round-3 form: nested lax.cond, each tier scatters full-size."""
+    import jax
+    import jax.numpy as jnp
+    R = mask.shape[0]
+    caps = tuple(capacity) if isinstance(capacity, (tuple, list)) \
+        else (capacity,)
+    caps = tuple(sorted(c for c in caps if c < R))
+    if not caps:
+        return tuple(fn(*per_ray_inputs))
+    count = jnp.sum(mask)
+    order = jnp.argsort(~mask, stable=True)
+
+    def dense(_):
+        return tuple(fn(*per_ray_inputs))
+
+    def compact_at(cap):
+        def compact(_):
+            idx = order[:cap]
+            sub = [a[idx] for a in per_ray_inputs]
+            outs = fn(*sub)
+            return tuple(base.at[idx].set(o)
+                         for base, o in zip(out_builders, outs))
+        return compact
+
+    branch = dense
+    for cap in reversed(caps):
+        branch = functools.partial(
+            lambda cap, nxt, _: jax.lax.cond(count <= cap, compact_at(cap),
+                                             nxt, 0),
+            cap, branch)
+    return branch(0)
+
+
+def switch_scatter_compact_call(fn, mask, capacity, per_ray_inputs,
+                                out_builders):
+    """One lax.switch over tiers; each tier scatters at its OWN cap into
+    full-size (no padding); one outer compact-vs-dense cond."""
+    import jax
+    import jax.numpy as jnp
+    R = mask.shape[0]
+    caps = tuple(capacity) if isinstance(capacity, (tuple, list)) \
+        else (capacity,)
+    caps = tuple(sorted(c for c in caps if c < R))
+    if not caps:
+        return tuple(fn(*per_ray_inputs))
+    count = jnp.sum(mask)
+    order = jnp.argsort(~mask, stable=True)
+    cap_max = caps[-1]
+
+    def dense(_):
+        return tuple(fn(*per_ray_inputs))
+
+    def tier(cap):
+        def run(_):
+            idx = order[:cap]
+            outs = fn(*[a[idx] for a in per_ray_inputs])
+            return tuple(base.at[idx].set(o)
+                         for base, o in zip(out_builders, outs))
+        return run
+
+    def compact_path(_):
+        if len(caps) == 1:
+            return tier(caps[0])(0)
+        t = jnp.minimum(
+            jnp.searchsorted(jnp.asarray(caps, count.dtype), count),
+            len(caps) - 1)
+        return jax.lax.switch(t, [tier(c) for c in caps], 0)
+
+    return jax.lax.cond(count <= cap_max, compact_path, dense, 0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mvsdf_tpu.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    jax.config.update("jax_default_matmul_precision", "default")
+    jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+    float(jnp.ones(4).sum())
+    print("backend up", flush=True)
+
+    from mvsdf_tpu import compaction
+    from mvsdf_tpu.config import MVSDFConfig, TrainConfig
+    from mvsdf_tpu.rendering import renderer as renderer_mod
+    from mvsdf_tpu.tracing import sphere_trace as trace_mod
+    from mvsdf_tpu.train.step import (make_train_step, init_train_state,
+                                      weights_to_array)
+    from tests.golden.scene_fixtures import make_scene
+
+    new_impl = compaction.compact_call
+
+    def patch(impl):
+        trace_mod.compact_call = impl
+        trace_mod._compact_call = impl
+        renderer_mod._compact_call = impl
+
+    scene = make_scene(n_images=8, n_pix=4096, feat_ch=32, img_hw=96,
+                       depth_hw=48)
+    batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}
+
+    cfg = MVSDFConfig(train=TrainConfig(batch_size=8, num_pixels=4096))
+    tr = dataclasses.replace(
+        cfg.model.tracer, fill_misses=False,
+        sampler_capacity_frac=0.25, fill_capacity_frac=0.5,
+        fallback_capacity_frac=(0.0625, 0.1875, 0.375),
+        march_compact_schedule=((0, (0.375, 0.5)), (1, (0.1875, 0.25)),
+                                (5, (0.0625, 0.125, 0.25))))
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, use_pallas_trace=True, tracer=tr,
+        supervised_compact_frac=(0.25, 0.375),
+        implicit=dataclasses.replace(cfg.model.implicit,
+                                     bf16_activations=True)))
+
+    arms = {"nested": old_compact_call, "switch": new_impl,
+            "swscatter": switch_scatter_compact_call}
+    steps, states = {}, {}
+    key = jax.random.PRNGKey(0)
+    state0 = init_train_state(cfg, seed=0)
+    w = weights_to_array(cfg.schedule.weights(0.3))
+    eq = {}
+    for name, impl in arms.items():
+        patch(impl)
+        fn = make_train_step(cfg, phase_idx=1, donate=False)
+        t0 = time.perf_counter()
+        st, m = fn(state0, batch, w, key)  # traces under the patch
+        eq[name] = (float(np.asarray(m["loss"])),
+                    float(np.asarray(m["grad_norm"])))
+        for _ in range(2):
+            st, m = fn(st, batch, w, key)
+        float(np.asarray(m["loss"]))
+        print(f"[{name}] compile {time.perf_counter()-t0:.1f}s "
+              f"loss={eq[name][0]!r} gnorm={eq[name][1]!r}", flush=True)
+        steps[name] = fn
+        states[name] = st
+    patch(new_impl)
+    # loss must be BIT-equal (identical forward math, identical tier
+    # selection); grad_norm may differ at reduction-order roundoff — the
+    # new HLO schedules the backward matmul accumulations differently
+    # (measured 1.2e-6 rel on v5e)
+    for name in arms:
+        assert eq["nested"][0] == eq[name][0], \
+            f"{name} changed the forward: {eq}"
+        rel = abs(eq["nested"][1] - eq[name][1]) / abs(eq["nested"][1])
+        assert rel <= 1e-5, \
+            f"{name} grad_norm beyond roundoff: {eq} rel={rel:.2e}"
+        print(f"[{name}] equality: loss bit-equal, grad_norm rel "
+              f"{rel:.1e}", flush=True)
+
+    # advance both to steady state
+    for name in arms:
+        st = states[name]
+        for _ in range(20):
+            st, m = steps[name](st, batch, w, key)
+        float(np.asarray(m["loss"]))
+        states[name] = st
+
+    wins = {n: [] for n in arms}
+    for rep in range(6):
+        for name in arms:
+            st = states[name]
+            t0 = time.perf_counter()
+            for _ in range(10):
+                st, m = steps[name](st, batch, w, key)
+            float(np.asarray(m["loss"]))
+            wins[name].append((time.perf_counter() - t0) / 10 * 1e3)
+            states[name] = st
+    out = {}
+    for name in arms:
+        v = np.array(wins[name])
+        out[name] = float(np.median(v))
+        print(f"[{name}] windows ms: {np.round(v, 1).tolist()} "
+              f"median {np.median(v):.2f}", flush=True)
+    print(json.dumps({f"{n}_ms": out[n] for n in arms}), flush=True)
+
+    # device-busy per arm via op_profile (low-variance; wall windows carry
+    # ~10% tunnel drift)
+    from tier_ab2 import device_busy_ms
+    for name in arms:
+        logdir = f"/tmp/mvsdf_compab_{name}"
+        os.system(f"rm -rf {logdir}")
+        st = states[name]
+        with jax.profiler.trace(logdir):
+            for _ in range(5):
+                st, m = steps[name](st, batch, w, key)
+            float(np.asarray(m["loss"]))
+        states[name] = st
+        try:
+            print(f"[{name}] device busy: "
+                  f"{device_busy_ms(logdir, 5):.2f} ms/step", flush=True)
+        except Exception as e:
+            print(f"[{name}] profile parse failed: {e!r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

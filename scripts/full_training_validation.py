@@ -36,6 +36,21 @@ def main():
     ap.add_argument("--bf16_acts", action="store_true",
                     help="bf16 activation storage in the supervised "
                          "implicit MLP (quality study arm)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init + pixel permutations + RNG "
+                         "keys); the scene stays fixed — seed-variance "
+                         "bars for the quality studies (VERDICT r3 #8)")
+    ap.add_argument("--plane_r", type=float, default=0.92,
+                    help="scene ground-plane radius; 0 = object-only "
+                         "mask-tight scene")
+    ap.add_argument("--focal_mult", type=float, default=1.3,
+                    help="focal = focal_mult * 96; lower widens the FoV "
+                         "and drops the sphere-intersect fraction")
+    ap.add_argument("--supervised_compact", default="auto",
+                    choices=["auto", "off"],
+                    help="auto: engage auto_supervised_cascade from the "
+                         "scene's sphere-intersect bound (the CLI "
+                         "default); off: force the supervised path dense")
     ap.add_argument("--out", default="/tmp/mvsdf_validation")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -74,28 +89,46 @@ def main():
             cfg.model, implicit=dataclasses.replace(
                 cfg.model.implicit, bf16_activations=True)))
     print("building coherent scene + features...", flush=True)
-    sc = make_scene_shaded(n=N_VIEWS, n_pix=N_PIX, sphere_radius=RADIUS)
+    sc = make_scene_shaded(n=N_VIEWS, n_pix=N_PIX, sphere_radius=RADIUS,
+                           focal=args.focal_mult * 96,
+                           plane_r=args.plane_r)
 
+    sup = ()
     if not args.no_pallas:
-        from mvsdf_tpu.tracing.sphere_trace import (auto_fallback_capacity,
-                                                    auto_march_schedule)
+        from mvsdf_tpu.tracing.sphere_trace import (auto_fallback_cascade,
+                                                    auto_march_schedule,
+                                                    auto_supervised_cascade,
+                                                    ray_intersect_fraction)
         obj_frac = float(np.mean(sc["mask_full"]))
-        cap = auto_fallback_capacity(obj_frac)
-        march_sched = auto_march_schedule(obj_frac)
-        print(f"fallback capacity: {cap:.3f}, march schedule {march_sched} "
-              f"(object frac {obj_frac:.3f})")
+        uv_all = np.broadcast_to(sc["uv_full"][None],
+                                 (N_VIEWS,) + sc["uv_full"].shape)
+        isect = ray_intersect_fraction(uv_all, sc["intrinsics"],
+                                       sc["pose"])
+        cap = auto_fallback_cascade(obj_frac, intersect_frac=isect,
+                                    fill_misses=False)
+        march_sched = auto_march_schedule(obj_frac, intersect_frac=isect)
+        if args.supervised_compact == "auto":
+            sup = auto_supervised_cascade(intersect_frac=isect)
+        print(f"fallback cascade: {cap}, march schedule {march_sched} "
+              f"supervised cascade {sup} (object frac {obj_frac:.3f}, "
+              f"intersect {isect:.3f})")
+        # fill skip = the CLI default; bit-identical losses+gradients
+        # (tests/unit/test_fill_skip.py), so study numbers stay comparable
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
                                  fill_capacity_frac=0.5,
                                  fallback_capacity_frac=cap,
-                                 march_compact_schedule=march_sched)
+                                 march_compact_schedule=march_sched,
+                                 fill_misses=False)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, use_pallas_trace=True, tracer=tr))
+            cfg.model, use_pallas_trace=True, tracer=tr,
+            supervised_compact_frac=sup,
+            pallas_interpret=jax.devices()[0].platform == "cpu"))
     const = {k: jnp.asarray(np.asarray(sc[k])) for k in
              ["intrinsics", "pose", "depths", "depth_cams", "size",
               "center", "feat", "feat_src", "cam", "src_cams"]}
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     train_views = np.arange(N_VIEWS - 1)
 
     def batch_for(epoch):
@@ -115,9 +148,9 @@ def main():
         b["center"] = const["center"][:len(views)]
         return b
 
-    state = init_train_state(cfg, seed=0)
+    state = init_train_state(cfg, seed=args.seed)
     steps = {}
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(args.seed)
     sched = cfg.schedule
     t0 = time.perf_counter()
     n_rays = 0
@@ -150,7 +183,7 @@ def main():
     params = state.params
     icfg = cfg.model.implicit
 
-    if args.no_pallas:
+    if args.no_pallas or jax.devices()[0].platform == "cpu":
         def sdf(x):
             return sdf_apply(icfg, params["implicit"], x)
     else:
@@ -216,6 +249,10 @@ def main():
 
     summary = {
         "epochs": args.epochs,
+        "seed": args.seed,
+        "plane_r": args.plane_r,
+        "focal_mult": args.focal_mult,
+        "supervised_cascade": list(sup),
         "rays_per_s_incl_host": round(rays_s, 1),
         "final_loss": round(float(metrics["loss"]), 4),
         "chamfer_accuracy": round(ch["accuracy"], 5),

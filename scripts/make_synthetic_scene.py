@@ -28,6 +28,15 @@ def main():
     ap.add_argument("--img_hw", type=int, default=128)
     ap.add_argument("--depth_hw", type=int, default=64)
     ap.add_argument("--radius", type=float, default=0.45)
+    ap.add_argument("--focal_mult", type=float, default=1.3,
+                    help="focal = focal_mult * img_hw; lower = wider FoV "
+                         "(drops the sphere-intersect fraction — the "
+                         "supervised-compaction win regime needs < 0.5)")
+    ap.add_argument("--plane_r", type=float, default=0.92,
+                    help="ground-plane radius; 0 disables the plane "
+                         "(mask-tight object-only scene)")
+    ap.add_argument("--dist", type=float, default=2.2,
+                    help="camera distance from the origin")
     args = ap.parse_args()
 
     import imageio.v2 as imageio
@@ -40,7 +49,7 @@ def main():
     n = args.views
     H = W = args.img_hw
     h = w = args.depth_hw
-    f_hd = 1.3 * H
+    f_hd = args.focal_mult * H
     K = np.array([[f_hd, 0, W / 2], [0, f_hd, H / 2], [0, 0, 1.0]])
     Kd = K.copy()
     Kd[:2] *= h / H
@@ -48,17 +57,20 @@ def main():
     golden = np.pi * (3 - np.sqrt(5))
     elev = np.deg2rad(np.linspace(20, 65, n))
     azim = golden * np.arange(n)
-    cam_pos = 2.2 * np.stack([np.cos(elev) * np.cos(azim), np.sin(elev),
-                              np.cos(elev) * np.sin(azim)], -1)
+    cam_pos = args.dist * np.stack([np.cos(elev) * np.cos(azim),
+                                    np.sin(elev),
+                                    np.cos(elev) * np.sin(azim)], -1)
 
     cam_npz = {}
     pair = {"id_list": [str(i) for i in range(n)]}
     for i in range(n):
         extr = look_at_extrinsic(cam_pos[i])
         rgb, _, mask = render_shaded_sphere(cam_pos[i], extr, K, H,
-                                            args.radius)
+                                            args.radius,
+                                            plane_r=args.plane_r)
         _, depth, _ = render_shaded_sphere(cam_pos[i], extr, Kd, h,
-                                           args.radius)
+                                           args.radius,
+                                           plane_r=args.plane_r)
         img8 = ((rgb / 2 + 0.5) * 255).clip(0, 255).astype(np.uint8)
         imageio.imwrite(os.path.join(out, "image_hd", f"{i:03}.png"), img8)
         imageio.imwrite(os.path.join(out, "mask_hd", f"{i:03}.png"),

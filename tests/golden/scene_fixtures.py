@@ -131,12 +131,16 @@ def render_shaded_sphere(cam_pos, extr, K, hw, radius,
 
 def make_scene_shaded(n=12, img_hw=96, depth_hw=48, n_pix=4096,
                       sphere_radius=0.45, focal=None, seed=0,
-                      feat_params=None):
+                      feat_params=None, plane_r=0.92):
     """Fully coherent multi-view scene: fibonacci cameras, analytic
     lambertian renders of a textured sphere, analytic depth maps, and
     frozen-CNN features computed from the actual images (consistent across
     views — the feature-consistency loss gets real signal). Ground-truth
-    surface = the radius-``sphere_radius`` sphere at the origin."""
+    surface = the radius-``sphere_radius`` sphere at the origin.
+
+    plane_r=0 removes the ground plane (mask-tight object-only scene: the
+    hit set collapses to the object mask — the supervised-compaction win
+    regime when combined with a wide FoV, see auto_supervised_cascade)."""
     if focal is None:
         focal = 1.3 * img_hw
     sc = make_scene_fibonacci(n=n, img_hw=img_hw, depth_hw=depth_hw,
@@ -170,8 +174,10 @@ def make_scene_shaded(n=12, img_hw=96, depth_hw=48, n_pix=4096,
     for i in range(n):
         extr = np.linalg.inv(sc["pose"][i].astype(np.float64))
         cam_pos = sc["pose"][i][:3, 3].astype(np.float64)
-        rgb, _, m = render_shaded_sphere(cam_pos, extr, K, H, sphere_radius)
-        _, z, _ = render_shaded_sphere(cam_pos, extr, Kd, h, sphere_radius)
+        rgb, _, m = render_shaded_sphere(cam_pos, extr, K, H, sphere_radius,
+                                         plane_r=plane_r)
+        _, z, _ = render_shaded_sphere(cam_pos, extr, Kd, h, sphere_radius,
+                                       plane_r=plane_r)
         rgbs.append(rgb)
         masks.append(m)
         depths[i, 0, 0] = z
