@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=600)
     ap.add_argument("--resolution", type=int, default=160)
@@ -52,7 +52,7 @@ def main():
                          "scene's sphere-intersect bound (the CLI "
                          "default); off: force the supervised path dense")
     ap.add_argument("--out", default="/tmp/mvsdf_validation")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
     import jax
@@ -155,6 +155,14 @@ def main():
     t0 = time.perf_counter()
     n_rays = 0
     metrics = None
+    # step-rate accounting: 50-epoch windows bounded by a device fetch;
+    # windows containing a phase compile are excluded, so the reported
+    # median rate is pure steady-state stepping (compiles differ between
+    # A/B arms and would confound the comparison)
+    WIN = 50
+    win_t0 = time.perf_counter()
+    win_dirty = False
+    win_rates = []
     for epoch in range(args.epochs):
         tp = epoch / args.epochs
         ph = sched.phase_index(tp)
@@ -162,11 +170,19 @@ def main():
             print(f"compiling phase {ph} step (epoch {epoch})...",
                   flush=True)
             steps[ph] = make_train_step(cfg, ph, donate=False)
+            win_dirty = True
         w = weights_to_array(sched.weights(tp))
         state = state._replace(epoch=jnp.asarray(epoch, jnp.int32))
         key, k = jax.random.split(key)
         state, metrics = steps[ph](state, batch_for(epoch), w, k)
         n_rays += cfg.train.batch_size * N_PIX
+        if (epoch + 1) % WIN == 0:
+            jax.block_until_ready(metrics["loss"])
+            dt = time.perf_counter() - win_t0
+            if not win_dirty:
+                win_rates.append(WIN * cfg.train.batch_size * N_PIX / dt)
+            win_t0 = time.perf_counter()
+            win_dirty = False
         if epoch % 100 == 0 or epoch == args.epochs - 1:
             m = {kk: float(metrics[kk]) for kk in
                  ("loss", "rgb_loss", "depth_loss", "feat_loss",
@@ -177,8 +193,11 @@ def main():
     jax.block_until_ready(metrics["loss"])
     train_s = time.perf_counter() - t0
     rays_s = n_rays / train_s
+    med_rate = float(np.median(win_rates)) if win_rates else rays_s
     print(f"trained {args.epochs} epochs in {train_s:.0f}s "
-          f"({rays_s:.0f} rays/s incl host batching)", flush=True)
+          f"({rays_s:.0f} rays/s incl host batching+compiles; "
+          f"median window rate {med_rate:.0f} rays/s over "
+          f"{len(win_rates)} compile-free windows)", flush=True)
 
     params = state.params
     icfg = cfg.model.implicit
@@ -254,6 +273,7 @@ def main():
         "focal_mult": args.focal_mult,
         "supervised_cascade": list(sup),
         "rays_per_s_incl_host": round(rays_s, 1),
+        "median_window_rays_per_s": round(med_rate, 1),
         "final_loss": round(float(metrics["loss"]), 4),
         "chamfer_accuracy": round(ch["accuracy"], 5),
         "chamfer_completeness": round(ch["completeness"], 5),
