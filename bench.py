@@ -83,11 +83,14 @@ def main():
         # bounding sphere (the hard geometric bound on the fallback),
         # measured active 0.314 at init (sampler+fill) -> top tier 0.375;
         # with the fill skipped only the march-unfinished sampler rays
-        # remain, so tighter tiers engage as training converges.
+        # remain (steady state 0.06-0.076, scripts/active_trajectory.py).
+        # Middle tier 0.09375 (not 0.1875): RESIZING the tier won -6%
+        # wall at steady state where ADDING tiers lost (branch plumbing)
+        # — scripts/donate_tier_ab.py, PERF.md round 4.
         tr = dataclasses.replace(cfg.model.tracer,
                                  sampler_capacity_frac=0.25,
                                  fill_capacity_frac=0.5,
-                                 fallback_capacity_frac=(0.0625, 0.1875,
+                                 fallback_capacity_frac=(0.0625, 0.09375,
                                                          0.375))
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, tracer=tr))
