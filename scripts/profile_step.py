@@ -79,7 +79,7 @@ def main():
     tr = dataclasses.replace(
         cfg.model.tracer, fill_misses=False,
         sampler_capacity_frac=0.25, fill_capacity_frac=0.5,
-        fallback_capacity_frac=(0.0625, 0.1875, 0.375),
+        fallback_capacity_frac=(0.0625, 0.09375, 0.375),
         march_compact_schedule=((0, (0.375, 0.5)), (1, (0.1875, 0.25)),
                                 (5, (0.0625, 0.125, 0.25))))
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
