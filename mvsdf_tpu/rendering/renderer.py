@@ -32,7 +32,7 @@ from ..geometry.cameras import get_camera_params
 from ..geometry import projections as proj
 from ..tracing.sphere_trace import trace_rays
 from .implicit_diff import differentiable_surface_points
-from ..compaction import compact_call as _compact_call
+from ..compaction import compact_call_into as _compact_call_into
 
 
 class RenderOut(NamedTuple):
@@ -277,7 +277,10 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             caps = tuple(max(128, int(N * f)) for f in comp_fracs)
             F2 = 2 + icfg.feature_vector_size
             act_flat = surface_mask.reshape(N)
-            o_flat, gr_flat = _compact_call(
+            # zeros targets, unpredicated write: every consumer of these
+            # outputs multiplies non-surface lanes by an exactly-zero mask,
+            # so block-padding rows' (finite) values are dead either way.
+            o_flat, gr_flat = _compact_call_into(
                 lambda p: full_value_and_grad(icfg, params["implicit"], p),
                 act_flat, caps, [points.reshape(N, 3)],
                 [jnp.zeros((N, F2)), jnp.zeros((N, 3))])
@@ -358,11 +361,14 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             return (render_apply(rcfg, params["render"], pi, ni, vi,
                                  feats),)
 
-        (rgb_flat,) = _compact_call(
-            _shade, surface_mask.reshape(N), caps,
+        # Direct predicated scatter into the non-hit fill value (rgb=1,
+        # ref :302-304): fuses the rgb_values where-merge into the scatter.
+        sm_flat = surface_mask.reshape(N)
+        (rgbv_flat,) = _compact_call_into(
+            _shade, sm_flat, caps,
             [diff_surf_pts.reshape(N, 3), view.reshape(N, 3)],
-            [jnp.zeros((N, 3))])
-        rgb = rgb_flat.reshape(B, P, 3)
+            [jnp.ones((N, 3))], out_masks=[sm_flat])
+        rgb_values = rgbv_flat.reshape(B, P, 3)
     else:
         rgb_out, normals = full_value_and_grad(icfg, params["implicit"],
                                                diff_surf_pts)
@@ -373,7 +379,7 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
                                           (pts_in, nrm_in, view_in))
         rgb = render_apply(rcfg, params["render"], pts_in, nrm_in, view_in,
                            features)
-    rgb_values = jnp.where(surface_mask[..., None], rgb, 1.0)
+        rgb_values = jnp.where(surface_mask[..., None], rgb, 1.0)
 
     return RenderOut(
         points=points, rgb_values=rgb_values, sdf_output=sdf_output,

@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..compaction import compact_call
+from ..compaction import compact_call, compact_call_into
 
 
 @dataclasses.dataclass(frozen=True)
@@ -261,7 +261,10 @@ def _sphere_trace(cfg: TracerConfig, sdf_fn, org, dirs, mask_intersect,
                                         i0, i1, init)
             return u2.T, t2c.T, n2c.T
 
-        u_o, t_o, n_o = _compact_call(
+        # Unpredicated direct scatter into the march state (out_masks=None):
+        # frozen lanes' seg_fn outputs equal their inputs bit-exactly, so
+        # writing every block row back is a no-op on them.
+        u_o, t_o, n_o = _compact_call_into(
             seg_fn, active, cap,
             [orgf, dirsf, unfin2.T, t2.T, next2.T],
             [unfin2.T, t2.T, next2.T])
@@ -590,9 +593,11 @@ def auto_march_schedule(object_frac: float, granularity: float = 1 / 16,
     return tuple(out)
 
 
-# Shared with the renderer's supervised compaction; the old private name is
-# kept as an alias for existing callers/tests.
+# Shared with the renderer's supervised compaction; the old private names are
+# kept as aliases for existing callers/tests and as the patch points of the
+# layout A/B scripts (scripts/compaction_ab.py, scripts/scatter_into_ab.py).
 _compact_call = compact_call
+_compact_call_into = compact_call_into
 
 
 def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
@@ -663,18 +668,21 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
         fn = lambda o, d, m, sm, lo, hi: _unified_fallback(
             cfg, sdf_fn, o, d, m, sm, lo, hi, minimal_steps, training,
             secant_fn=secant_fn)
-        u_p, u_net, u_d = _compact_call(
+        # Predicated direct scatter into the live merge targets: rows
+        # outside each output's merge mask keep the target value (OOB
+        # sentinel + mode='drop'), replacing the zeros out_builders and the
+        # three full-size where-merges of the round-4 layout (PERF.md r5).
+        p_f, net_f, d_f = _compact_call_into(
             fn, active.reshape(R), cap,
             [org.reshape(R, 3), dirs.reshape(R, 3), object_mask.reshape(R),
              sampler_mask.reshape(R), t_lo.reshape(R), t_hi.reshape(R)],
-            [jnp.zeros((R, 3)), jnp.zeros((R,), bool), jnp.zeros((R,))])
-        u_p = u_p.reshape(lead + (3,))
-        u_net = u_net.reshape(lead)
-        u_d = u_d.reshape(lead)
-
-        points = jnp.where(active[..., None], u_p, points)
-        dists = jnp.where(active, u_d, dists)
-        net_obj_mask = jnp.where(sampler_mask, u_net, net_obj_mask)
+            [points.reshape(R, 3), net_obj_mask.reshape(R),
+             dists.reshape(R)],
+            out_masks=[active.reshape(R), sampler_mask.reshape(R),
+                       active.reshape(R)])
+        points = p_f.reshape(lead + (3,))
+        net_obj_mask = net_f.reshape(lead)
+        dists = d_f.reshape(lead)
 
         # Rays missing the sphere: project the origin (ref :79-84).
         t_proj = -jnp.sum(dirs * org, axis=-1)
@@ -694,22 +702,25 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
         smp_pts, smp_net, smp_d = _ray_sampler(
             cfg, sdf_fn, org, dirs, object_mask, smp_t_min, smp_t_max,
             training, secant_fn=secant_fn)
+        points = jnp.where(sampler_mask[..., None], smp_pts, points)
+        dists = jnp.where(sampler_mask, smp_d, dists)
+        net_obj_mask = jnp.where(sampler_mask, smp_net, net_obj_mask)
     else:
         cap = smp_caps
         fn = lambda o, d, m, lo, hi: _ray_sampler(
             cfg, sdf_fn, o, d, m, lo, hi, training, secant_fn=secant_fn)
-        smp_pts, smp_net, smp_d = _compact_call(
-            fn, sampler_mask.reshape(R), cap,
+        smpf = sampler_mask.reshape(R)
+        p_f, net_f, d_f = _compact_call_into(
+            fn, smpf, cap,
             [org.reshape(R, 3), dirs.reshape(R, 3),
              object_mask.reshape(R), smp_t_min.reshape(R),
              smp_t_max.reshape(R)],
-            [jnp.zeros((R, 3)), jnp.zeros((R,), bool), jnp.zeros((R,))])
-        smp_pts = smp_pts.reshape(lead + (3,))
-        smp_net = smp_net.reshape(lead)
-        smp_d = smp_d.reshape(lead)
-    points = jnp.where(sampler_mask[..., None], smp_pts, points)
-    dists = jnp.where(sampler_mask, smp_d, dists)
-    net_obj_mask = jnp.where(sampler_mask, smp_net, net_obj_mask)
+            [points.reshape(R, 3), net_obj_mask.reshape(R),
+             dists.reshape(R)],
+            out_masks=[smpf, smpf, smpf])
+        points = p_f.reshape(lead + (3,))
+        net_obj_mask = net_f.reshape(lead)
+        dists = d_f.reshape(lead)
 
     if not training:
         return TraceResult(points, net_obj_mask, dists, sampler_mask,
@@ -744,19 +755,21 @@ def trace_rays(cfg: TracerConfig, sdf_fn, org, dirs, object_mask,
     if not fill_caps:
         mn_pts, mn_d = _minimal_sdf_points(cfg, sdf_fn, org, dirs, min_dis,
                                            max_dis, minimal_steps)
+        points = jnp.where(fill[..., None], mn_pts, points)
+        dists = jnp.where(fill, mn_d, dists)
     else:
         cap = fill_caps
         fn = lambda o, d, lo, hi: _minimal_sdf_points(
             cfg, sdf_fn, o, d, lo, hi, minimal_steps)
-        mn_pts, mn_d = _compact_call(
-            fn, fill.reshape(R), cap,
+        fillf = fill.reshape(R)
+        p_f, d_f = _compact_call_into(
+            fn, fillf, cap,
             [org.reshape(R, 3), dirs.reshape(R, 3), min_dis.reshape(R),
              max_dis.reshape(R)],
-            [jnp.zeros((R, 3)), jnp.zeros((R,))])
-        mn_pts = mn_pts.reshape(lead + (3,))
-        mn_d = mn_d.reshape(lead)
-    points = jnp.where(fill[..., None], mn_pts, points)
-    dists = jnp.where(fill, mn_d, dists)
+            [points.reshape(R, 3), dists.reshape(R)],
+            out_masks=[fillf, fillf])
+        points = p_f.reshape(lead + (3,))
+        dists = d_f.reshape(lead)
 
     return TraceResult(points, net_obj_mask, dists, sampler_mask,
                        mask_intersect)

@@ -77,6 +77,7 @@ def main(argv=None):
     RADIUS = 0.45
     N_VIEWS = 12
     N_PIX = args.n_pix
+    IMG_HW = 96  # single source for both the render res and the focal scale
     HELD_OUT = N_VIEWS - 1  # last view excluded from training batches
 
     cfg = MVSDFConfig(train=TrainConfig(
@@ -89,8 +90,9 @@ def main(argv=None):
             cfg.model, implicit=dataclasses.replace(
                 cfg.model.implicit, bf16_activations=True)))
     print("building coherent scene + features...", flush=True)
-    sc = make_scene_shaded(n=N_VIEWS, n_pix=N_PIX, sphere_radius=RADIUS,
-                           focal=args.focal_mult * 96,
+    sc = make_scene_shaded(n=N_VIEWS, img_hw=IMG_HW, n_pix=N_PIX,
+                           sphere_radius=RADIUS,
+                           focal=args.focal_mult * IMG_HW,
                            plane_r=args.plane_r)
 
     sup = ()

@@ -72,7 +72,7 @@ def test_trim_at_128_keeps_surface_removes_junk(trained):
     p = (np.abs(ctr[:, 1] - PLANE_Y) < 0.07) & \
         (ctr[:, 0] ** 2 + ctr[:, 2] ** 2 < PLANE_R ** 2)
     junk_before = (~(on_sphere | on_plane)).sum()
-    junk_after = len(ft) - s.sum() - p.sum()
+    junk_after = (~(s | p)).sum()
     # the true object survives nearly intact...
     assert s.sum() > 0.95 * on_sphere.sum()
     assert p.sum() > 0.85 * on_plane.sum()
