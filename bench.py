@@ -121,9 +121,12 @@ def main():
     if os.environ.get("MVSDF_BENCH_SUPCOMPACT", "1") == "1":
         # supervised-path compaction: rt_surf group + shading run only on
         # surface-hit lanes (exact; dense on overflow). Fixture hit set is
-        # bounded by the 0.332 sphere-intersect fraction.
+        # bounded by the 0.332 sphere-intersect fraction. SINGLE 0.375
+        # tier: steady hit is 0.30-0.32, so the old 0.25 bottom tier never
+        # fit — dropping it won -2.3 ms/step device busy in the round-5
+        # A/B (scripts/scatter_into_ab.py, PERF.md).
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, supervised_compact_frac=(0.25, 0.375)))
+            cfg.model, supervised_compact_frac=(0.375,)))
         _progress("supervised compaction: on")
     if os.environ.get("MVSDF_BENCH_BF16ACT", "1") == "1":
         # bf16 activation storage in the supervised MLP (same bf16
