@@ -15,7 +15,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="max-flow mesh trimming")
     ap.add_argument("input")
     ap.add_argument("output")
-    ap.add_argument("--thresh", type=float, default=15.0)
+    ap.add_argument("--thresh", default="15",
+                    help="0-255 confidence threshold, or 'auto' for the "
+                         "Otsu data-driven split between the mesh's own "
+                         "surface and junk confidence modes (robust to "
+                         "indicator calibration differing from the "
+                         "reference's >0.94 presumption)")
     ap.add_argument("--smooth", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -23,7 +28,13 @@ def main(argv=None):
     if colors is None:
         raise SystemExit("input OBJ has no vertex colors "
                          "(surface-indicator confidences required)")
-    v, f, c = trim_mesh(verts, faces, colors, thresh=args.thresh,
+    thresh = args.thresh if args.thresh == "auto" else float(args.thresh)
+    if thresh == "auto":
+        from .cut import auto_threshold
+        t = auto_threshold(colors[faces, 0].mean(axis=1))
+        print(f"auto threshold: {t:.1f}/255")
+        thresh = t
+    v, f, c = trim_mesh(verts, faces, colors, thresh=thresh,
                         smooth=args.smooth)
     save_obj(args.output, v, f, c)
     print(f"trimmed {len(faces) - len(f)}/{len(faces)} faces -> "

@@ -52,12 +52,53 @@ def mesh_cut(face_labels: np.ndarray, edges_with_cap: np.ndarray
     return out.astype(bool)
 
 
+def auto_threshold(face_conf: np.ndarray) -> float:
+    """Data-driven trim threshold (0-255 scale): Otsu's criterion over the
+    face confidences (mean red channel = 1 - indicator sigmoid).
+
+    The reference default ``--thresh 15`` presumes surface faces calibrate
+    at sigmoid > 0.94 (red < 0.059, ref mesh_cut.py:8-13) — true of its
+    ~11k-step DTU models, false of shorter-budget runs: the round-4
+    trained capstone calibrates its surface mode at sigmoid ~0.62 (red
+    ~0.38) with the junk mode at ~0.056 (red ~0.944), so thresh 15
+    removes EVERYTHING while the two modes remain cleanly separable
+    (PERF.md round 4). Otsu finds the between-mode split of the actual
+    mesh instead of assuming a calibration level, making the CLI work
+    across training budgets without hand tuning.
+    """
+    hist, edges = np.histogram(np.clip(face_conf, 0.0, 1.0), bins=256,
+                               range=(0.0, 1.0))
+    hist = hist.astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 15.0
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    mu0 = np.cumsum(hist * centers) / np.maximum(w0, 1e-12)
+    mu1 = (np.sum(hist * centers) - np.cumsum(hist * centers)) / \
+        np.maximum(w1, 1e-12)
+    between = w0 * w1 * (mu0 - mu1) ** 2
+    between[(w0 == 0) | (w1 == 0)] = -1.0
+    # in an empty valley the criterion is FLAT between the modes: take the
+    # plateau midpoint so the threshold gets margin on both sides instead
+    # of hugging the lower mode
+    mx = between.max()
+    plateau = np.flatnonzero(between >= mx * (1.0 - 1e-9))
+    return float(centers[plateau[(len(plateau) - 1) // 2]] * 255.0)
+
+
 def trim_mesh(verts: np.ndarray, faces: np.ndarray,
-              vertex_colors: np.ndarray, thresh: float = 15.0,
+              vertex_colors: np.ndarray, thresh=15.0,
               smooth: int = 10):
     """Full trimming pipeline (ref mesh_cut.py:15-43). vertex_colors in
-    [0, 1]; thresh on the 0-255 scale like the reference CLI."""
+    [0, 1]; thresh on the 0-255 scale like the reference CLI, or the
+    string "auto" for the Otsu data-driven threshold (auto_threshold)."""
     conf = vertex_colors[faces, 0].mean(axis=1)  # mean red channel
+    if isinstance(thresh, str):
+        if thresh != "auto":
+            raise ValueError(f"thresh must be a number or 'auto': {thresh}")
+        thresh = auto_threshold(conf)
     labels = conf > (thresh / 255.0)
     adj = face_adjacency_edges(faces)
     edges = np.concatenate(
