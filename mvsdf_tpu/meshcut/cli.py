@@ -30,9 +30,16 @@ def main(argv=None):
                          "(surface-indicator confidences required)")
     thresh = args.thresh if args.thresh == "auto" else float(args.thresh)
     if thresh == "auto":
-        from .cut import auto_threshold
-        t = auto_threshold(colors[faces, 0].mean(axis=1))
-        print(f"auto threshold: {t:.1f}/255")
+        from .cut import auto_threshold, indicator_separation
+        conf = colors[faces, 0].mean(axis=1)
+        t = auto_threshold(conf)
+        sep = indicator_separation(conf)
+        print(f"auto threshold: {t:.1f}/255 (mode gap {sep:.3f})")
+        if sep < 0.1:
+            print("WARNING: indicator modes are not separated — the mesh's "
+                  "surface indicator looks untrained; the cut will "
+                  "partition noise (consider more training or an explicit "
+                  "--thresh)")
         thresh = t
     v, f, c = trim_mesh(verts, faces, colors, thresh=thresh,
                         smooth=args.smooth)

@@ -84,8 +84,24 @@ def auto_threshold(face_conf: np.ndarray) -> float:
     # plateau midpoint so the threshold gets margin on both sides instead
     # of hugging the lower mode
     mx = between.max()
+    if mx <= 0:  # all mass in one bin: no split exists
+        return float(np.median(np.clip(face_conf, 0.0, 1.0)) * 255.0)
     plateau = np.flatnonzero(between >= mx * (1.0 - 1e-9))
     return float(centers[plateau[(len(plateau) - 1) // 2]] * 255.0)
+
+
+def indicator_separation(face_conf: np.ndarray) -> float:
+    """Gap between the below/above-threshold confidence means at the Otsu
+    split (0..1). On a trained capstone mesh this is ~0.55 (clean
+    bimodality); on an untrained mesh the indicator is a delta at sigmoid
+    ~0.5 and the gap is ~0.001 — any threshold then partitions noise, so
+    callers should warn below ~0.1."""
+    t = auto_threshold(face_conf) / 255.0
+    conf = np.clip(face_conf, 0.0, 1.0)
+    lo, hi = conf[conf <= t], conf[conf > t]
+    if len(lo) == 0 or len(hi) == 0:
+        return 0.0
+    return float(hi.mean() - lo.mean())
 
 
 def trim_mesh(verts: np.ndarray, faces: np.ndarray,

@@ -149,3 +149,13 @@ def test_auto_threshold_on_reference_calibrated_colors():
     junk = rng.normal(0.98, 0.01, 1000)
     t = auto_threshold(np.clip(np.concatenate([surf, junk]), 0, 1))
     assert 0.1 * 255 < t < 0.9 * 255
+
+
+def test_indicator_separation_diagnostic(trained):
+    """Mode-gap diagnostic: ~0.55 on the trained fixture, ~0 on an
+    untrained (delta-at-0.5) indicator."""
+    from mvsdf_tpu.meshcut.cut import indicator_separation
+    verts, faces, colors, _, _ = trained
+    conf = colors[faces, 0].mean(axis=1)
+    assert indicator_separation(conf) > 0.3
+    assert indicator_separation(np.full(5000, 0.5)) < 0.1
