@@ -165,6 +165,7 @@ def main(argv=None):
     win_t0 = time.perf_counter()
     win_dirty = False
     win_rates = []
+    nonfinite = jnp.zeros((), jnp.int32)  # device-accumulated, no syncs
     for epoch in range(args.epochs):
         tp = epoch / args.epochs
         ph = sched.phase_index(tp)
@@ -177,6 +178,8 @@ def main(argv=None):
         state = state._replace(epoch=jnp.asarray(epoch, jnp.int32))
         key, k = jax.random.split(key)
         state, metrics = steps[ph](state, batch_for(epoch), w, k)
+        nonfinite = nonfinite + (
+            ~jnp.isfinite(metrics["grad_norm"])).astype(jnp.int32)
         n_rays += cfg.train.batch_size * N_PIX
         if (epoch + 1) % WIN == 0:
             jax.block_until_ready(metrics["loss"])
@@ -264,6 +267,9 @@ def main(argv=None):
     thresh = np.median(np.concatenate([on_l, off_l]))
     ind_acc = 0.5 * ((on_l > thresh).mean() + (off_l <= thresh).mean())
 
+    def _sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
     import pickle
     with open(os.path.join(args.out, "params.pkl"), "wb") as f:
         pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
@@ -282,7 +288,16 @@ def main(argv=None):
         "chamfer_overall": round(ch["overall"], 5),
         "heldout_psnr": round(psnr, 2),
         "mesh_verts": int(len(verts)),
+        "nonfinite_epochs": int(nonfinite),
         "indicator_acc": round(float(ind_acc), 3),
+        # absolute CALIBRATION level (not just separability): the round-4
+        # trained capstone calibrated its surface mode at sigmoid ~0.62 vs
+        # the >0.94 the reference's default trim threshold presumes —
+        # tracked here across budgets (VERDICT r4 #5 root-cause)
+        "indicator_sigmoid_on_med": round(
+            float(np.median(_sigmoid(on_l))), 3),
+        "indicator_sigmoid_off_med": round(
+            float(np.median(_sigmoid(off_l))), 3),
     }
     print(json.dumps(summary))
 
