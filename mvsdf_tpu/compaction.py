@@ -44,38 +44,13 @@ def compact_call(fn, mask, capacity: Union[int, Sequence[int]],
 
     per_ray_inputs: flat (R, ...) arrays; out_builders: zero arrays defining
     output shapes/dtypes ((R, ...) each).
+
+    Equivalent to ``compact_call_into`` with the builders as targets and no
+    out_masks (every block row written; builders define the non-block
+    rows' values).
     """
-    R = mask.shape[0]
-    caps = tuple(capacity) if isinstance(capacity, (tuple, list)) \
-        else (capacity,)
-    caps = tuple(sorted(c for c in caps if c < R))
-    if not caps:
-        # capacity covers every row: run dense directly, no gather/scatter
-        # or cond (scenes whose mask stats make compaction pointless —
-        # see tracing.sphere_trace.auto_fallback_capacity)
-        return tuple(fn(*per_ray_inputs))
-    count = jnp.sum(mask)
-    order = jnp.argsort(~mask, stable=True)
-
-    def dense(_):
-        return tuple(fn(*per_ray_inputs))
-
-    def compact_at(cap):
-        def compact(_):
-            idx = order[:cap]
-            sub = [a[idx] for a in per_ray_inputs]
-            outs = fn(*sub)
-            return tuple(base.at[idx].set(o)
-                         for base, o in zip(out_builders, outs))
-        return compact
-
-    branch = dense
-    for cap in reversed(caps):
-        branch = functools.partial(
-            lambda cap, nxt, _: jax.lax.cond(count <= cap, compact_at(cap),
-                                             nxt, 0),
-            cap, branch)
-    return branch(0)
+    return compact_call_into(fn, mask, capacity, per_ray_inputs,
+                             out_builders)
 
 
 def _normalize_caps(capacity, R):
