@@ -34,6 +34,12 @@ from ..tracing.sphere_trace import trace_rays
 from .implicit_diff import differentiable_surface_points
 from ..compaction import compact_call_into as _compact_call_into
 
+# Columns of the implicit net's output scattered to full ray size at the
+# supervised-compaction rt_surf site: 2 (SDF + indicator logit — all that
+# is consumed full-size) or None for all 2+feature columns (the pre-round-5
+# layout; kept as the A/B patch point of scripts/slice_scatter_ab.py).
+_RT_SURF_SCATTER_COLS = 2
+
 
 class RenderOut(NamedTuple):
     points: jnp.ndarray                 # (B, P, 3) traced/filled ray points
@@ -275,16 +281,29 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             # semantics identical to the trace-side compaction.
             N = B * P
             caps = tuple(max(128, int(N * f)) for f in comp_fracs)
-            F2 = 2 + icfg.feature_vector_size
             act_flat = surface_mask.reshape(N)
+
+            ncols = _RT_SURF_SCATTER_COLS or (2 + icfg.feature_vector_size)
+
+            def _sdf_logit_grad(p):
+                # Only the SDF + indicator-logit columns are consumed at
+                # full ray size (the 256 feature columns are recomputed
+                # inside the shading compaction below): slicing BEFORE the
+                # scatter keeps the per-tier full-size intermediates at
+                # (N, 2) instead of (N, 258) — the round-5 op profile put
+                # ~1.9 ms/step of broadcast/copy mass on each supervised
+                # tier branch's full-width materializations.
+                out, g = full_value_and_grad(icfg, params["implicit"], p)
+                return out[..., :ncols], g
+
             # zeros targets, unpredicated write: every consumer of these
             # outputs multiplies non-surface lanes by an exactly-zero mask,
             # so block-padding rows' (finite) values are dead either way.
             o_flat, gr_flat = _compact_call_into(
-                lambda p: full_value_and_grad(icfg, params["implicit"], p),
+                _sdf_logit_grad,
                 act_flat, caps, [points.reshape(N, 3)],
-                [jnp.zeros((N, F2)), jnp.zeros((N, 3))])
-            full_out = o_flat.reshape(B, P, F2)
+                [jnp.zeros((N, ncols)), jnp.zeros((N, 3))])
+            full_out = o_flat.reshape(B, P, ncols)
             g_rt = gr_flat.reshape(B, P, 3)
             groups = {"rt_surf": {
                 "points": points, "sdf": full_out[..., 0], "grad": g_rt,
