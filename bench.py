@@ -147,7 +147,9 @@ def main():
     batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}
 
     state = init_train_state(cfg, seed=0)
-    step = make_train_step(cfg, phase_idx=1, donate=False)
+    # donate=True matches the production fused train loop (train/loop.py)
+    # and measured -0.9 ms device busy (scripts/slice_scatter_ab.py r5)
+    step = make_train_step(cfg, phase_idx=1, donate=True)
     w = weights_to_array(cfg.schedule.weights(0.3))
     key = jax.random.PRNGKey(0)
 
