@@ -47,10 +47,12 @@ def main(argv=None):
                     help="focal = focal_mult * 96; lower widens the FoV "
                          "and drops the sphere-intersect fraction")
     ap.add_argument("--supervised_compact", default="auto",
-                    choices=["auto", "off"],
+                    choices=["auto", "off", "top"],
                     help="auto: engage auto_supervised_cascade from the "
                          "scene's sphere-intersect bound (the CLI "
-                         "default); off: force the supervised path dense")
+                         "default); off: force the supervised path dense; "
+                         "top: single top tier only (the hard intersect "
+                         "bound — the round-5 bench-fixture winner)")
     ap.add_argument("--out", default="/tmp/mvsdf_validation")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
@@ -111,6 +113,9 @@ def main(argv=None):
         march_sched = auto_march_schedule(obj_frac, intersect_frac=isect)
         if args.supervised_compact == "auto":
             sup = auto_supervised_cascade(intersect_frac=isect)
+        elif args.supervised_compact == "top":
+            full = auto_supervised_cascade(intersect_frac=isect)
+            sup = full[-1:] if full else ()
         print(f"fallback cascade: {cap}, march schedule {march_sched} "
               f"supervised cascade {sup} (object frac {obj_frac:.3f}, "
               f"intersect {isect:.3f})")
