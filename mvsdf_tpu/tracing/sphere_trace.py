@@ -515,14 +515,22 @@ def auto_supervised_cascade(intersect_frac: Optional[float] = None,
     rays/s dense) — gathering 75% of rows costs more than the 25% row
     saving — while the wide-FoV bench fixture (bound 0.375) gains 6%
     (PERF.md round 3). Returns () when the bound cannot guarantee the
-    win."""
+    win.
+
+    SINGLE tier (round 5): the bound tier alone beats a (0.25, bound)
+    cascade wherever measured — bench fixture (steady hit 0.30-0.32
+    never fits a 0.25 tier; dropping it = -2.3 ms/step device) AND the
+    mask-tight win-regime scene (358.5k vs 346.7k median rays/s, quality
+    identical; scripts/full_training_validation.py --supervised_compact
+    top vs auto, PERF.md round 5). A sub-bound tier only pays when the
+    hit fraction sits under it, which no measured scene's steady state
+    does; overflow safety is moot since the bound tier cannot overflow."""
     if intersect_frac is None:
         return ()
     bound = float(np.ceil(intersect_frac / granularity) * granularity)
     if bound >= 0.5:
         return ()
-    tiers = sorted({min(t, bound) for t in (0.25, 0.5)})
-    return tuple(max(t, 2 * granularity) for t in tiers)
+    return (max(bound, 2 * granularity),)
 
 
 def ray_intersect_fraction(uv, intrinsics, pose, radius: float = 1.0,
