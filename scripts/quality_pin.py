@@ -20,10 +20,11 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 # Pinned from the round-5 seed-0 run (2026-08-20, v5e; PERF.md round 5).
-# Tolerances: same-machine same-seed reruns vary only through XLA
-# scheduling roundoff — far inside these bounds, which are sized to catch
-# a real regression (~1 PSNR / ~30% chamfer) that the ±1.5-PSNR cross-seed
-# bars would absorb.
+# Measured same-day repeatability: a full rerun reproduced every pinned
+# value EXACTLY (bit-reproducible at fixed seed on one machine/XLA
+# build). The tolerances below absorb cross-day XLA/runtime variation
+# while still catching a real regression (~1 PSNR / ~30% chamfer) that
+# the ±1.5-PSNR cross-seed bars would absorb.
 PIN = {
     "chamfer_overall": (0.00935, 0.003),
     "heldout_psnr": (22.82, 1.0),
