@@ -125,9 +125,12 @@ def main(argv=None):
                     help="densify/downsample density (mm for real DTU)")
     ap.add_argument("--no_rendering", action="store_true",
                     help="skip the per-view rendering PSNR pass")
-    ap.add_argument("--meshcut_thresh", type=float, default=0.0,
-                    help="if > 0, trim each extracted mesh with the "
-                         "meshcut CLI at this threshold (ref default 15)")
+    ap.add_argument("--meshcut_thresh", default="0",
+                    help="if > 0 (or 'auto'), trim each extracted mesh "
+                         "with the meshcut CLI at this threshold (ref "
+                         "default 15; 'auto' = Otsu split of the mesh's "
+                         "own confidence modes — robust across training "
+                         "budgets, PERF.md round 5)")
     ap.add_argument("--force", action="store_true",
                     help="retrain even when a checkpoint exists")
     ap.add_argument("--out", default="SUITE",
@@ -223,7 +226,8 @@ def main(argv=None):
                 ch = parse_chamfer(evaldir)
                 if ch:
                     row.update(ch)
-                if args.meshcut_thresh > 0:
+                trim = args.meshcut_thresh
+                if trim == "auto" or float(trim) > 0:
                     objs = sorted(
                         f for f in os.listdir(evaldir)
                         if f.startswith("surface_world_coordinates")
@@ -232,8 +236,8 @@ def main(argv=None):
                         src = os.path.join(evaldir, objs[-1])
                         dst = src.replace(".obj", "_trimmed.obj")
                         run_cli("mvsdf_tpu.meshcut.cli",
-                                [src, dst, "--thresh",
-                                 str(args.meshcut_thresh)], log_path)
+                                [src, dst, "--thresh", str(trim)],
+                                log_path)
         ref = REFERENCE_TABLE.get(row.get("id"))
         if ref:
             row["ref_chamfer"], row["ref_psnr"] = ref

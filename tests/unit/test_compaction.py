@@ -268,3 +268,19 @@ def test_sampler_and_fill_cascades():
                                          sampler_capacity_frac=fracs),
                      training=False)
         _assert_equal(dense_e, casc_e)
+
+
+def test_auto_supervised_cascade_single_bound_tier():
+    """Round-5 measured policy: the single hard-bound tier (a hit requires
+    a sphere crossing, so the intersect-bound tier can never overflow)
+    beats any (sub-bound, bound) cascade wherever measured — bench fixture
+    -2.3 ms/step, win-regime scene +3.4% (PERF.md r5)."""
+    from mvsdf_tpu.tracing.sphere_trace import auto_supervised_cascade
+    # engages below 0.5 with exactly one tier = the rounded bound
+    assert auto_supervised_cascade(intersect_frac=0.332) == (0.375,)
+    assert auto_supervised_cascade(intersect_frac=0.347) == (0.375,)
+    # tiny scenes floor at 2*granularity
+    assert auto_supervised_cascade(intersect_frac=0.01) == (0.125,)
+    # >= 0.5 bound: dense (gathering most rows costs more than it saves)
+    assert auto_supervised_cascade(intersect_frac=0.7) == ()
+    assert auto_supervised_cascade(intersect_frac=None) == ()
