@@ -41,7 +41,9 @@ def main():
     # per chip; DCN (2-host) is the weak link at ~25 GB/s per host NIC.
     ici_gbs = 45.0
     dcn_gbs = 25.0
-    step_s_measured = 0.2  # bench.py on one v5e (PERF.md)
+    step_s_measured = 0.0596  # round-5 steady-state window median, v5e
+    # (59.6 ms/step at batch 8 x 4096 rays; PERF.md round 5 — the faster
+    # the step, the harsher this worst-case no-overlap budget)
 
     t_allreduce_ici = 2 * grad_bytes / (ici_gbs * 1e9)
     t_allreduce_dcn = 2 * grad_bytes / (dcn_gbs * 1e9)
