@@ -47,12 +47,13 @@ def main(argv=None):
                     help="focal = focal_mult * 96; lower widens the FoV "
                          "and drops the sphere-intersect fraction")
     ap.add_argument("--supervised_compact", default="auto",
-                    choices=["auto", "off", "top"],
+                    choices=["auto", "off", "top", "twotier"],
                     help="auto: engage auto_supervised_cascade from the "
                          "scene's sphere-intersect bound (the CLI "
-                         "default); off: force the supervised path dense; "
-                         "top: single top tier only (the hard intersect "
-                         "bound — the round-5 bench-fixture winner)")
+                         "default — since round 5 a SINGLE bound tier, "
+                         "same as 'top'); off: force the supervised path "
+                         "dense; twotier: the pre-round-5 (0.25, bound) "
+                         "cascade, kept as the measured-A/B baseline arm")
     ap.add_argument("--out", default="/tmp/mvsdf_validation")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
@@ -111,11 +112,11 @@ def main(argv=None):
         cap = auto_fallback_cascade(obj_frac, intersect_frac=isect,
                                     fill_misses=False)
         march_sched = auto_march_schedule(obj_frac, intersect_frac=isect)
-        if args.supervised_compact == "auto":
+        if args.supervised_compact in ("auto", "top"):
             sup = auto_supervised_cascade(intersect_frac=isect)
-        elif args.supervised_compact == "top":
-            full = auto_supervised_cascade(intersect_frac=isect)
-            sup = full[-1:] if full else ()
+        elif args.supervised_compact == "twotier":
+            top = auto_supervised_cascade(intersect_frac=isect)
+            sup = tuple(sorted({min(0.25, top[0]), top[0]})) if top else ()
         print(f"fallback cascade: {cap}, march schedule {march_sched} "
               f"supervised cascade {sup} (object frac {obj_frac:.3f}, "
               f"intersect {isect:.3f})")
