@@ -81,30 +81,59 @@ def test_rot_to_quat_parity_and_roundtrip():
     np.testing.assert_allclose(ours[:, 4:], vecs[:, 4:], atol=1e-6)
 
 
+# The torch side runs in a SUBPROCESS: the first torch optimizer step in a
+# process permanently changes subsequent XLA:CPU results (measured, PERF.md
+# round 5), so stepping SparseAdam in-process would contaminate every later
+# jax test in this pytest worker — an order-dependent flakiness source.
+_TORCH_SPARSE_ADAM_RUNNER = r"""
+import json, sys
+import numpy as np
+import torch
+
+init = np.array(json.loads(sys.argv[1]), np.float32)
+subsets = json.loads(sys.argv[2])
+grads = [np.array(g, np.float32) for g in json.loads(sys.argv[3])]
+lr = float(sys.argv[4])
+emb = torch.nn.Embedding(init.shape[0], init.shape[1], sparse=True)
+emb.weight.data.copy_(torch.from_numpy(init))
+opt = torch.optim.SparseAdam(emb.parameters(), lr=lr)
+weights = []
+for rows, g_rows in zip(subsets, grads):
+    opt.zero_grad()
+    out = emb(torch.tensor(rows, dtype=torch.int64))
+    (out * torch.from_numpy(g_rows)).sum().backward()
+    opt.step()
+    weights.append(emb.weight.detach().numpy().tolist())
+print(json.dumps(weights))
+"""
+
+
 def test_sparse_adam_parity():
     """Several steps with varying touched-row subsets: our masked-moment
     SparseAdam must track torch.optim.SparseAdam row for row."""
+    import json
+    import subprocess
+    import sys
+
     n, lr = 5, 1e-2
     init = _random_pose_vecs(n, seed=5)
 
-    emb = torch.nn.Embedding(n, 7, sparse=True)
-    emb.weight.data.copy_(torch.from_numpy(init))
-    opt = torch.optim.SparseAdam(emb.parameters(), lr=lr)
+    rng = np.random.default_rng(6)
+    subsets = [[0, 2], [1, 2, 4], [0, 2], [3], [0, 1, 2, 3, 4]]
+    grads = [rng.normal(size=(len(rows), 7)).astype(np.float32)
+             for rows in subsets]
+
+    r = subprocess.run(
+        [sys.executable, "-c", _TORCH_SPARSE_ADAM_RUNNER,
+         json.dumps(init.tolist()), json.dumps(subsets),
+         json.dumps([g.tolist() for g in grads]), str(lr)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    torch_weights = json.loads(r.stdout.strip().splitlines()[-1])
 
     ours = jnp.asarray(init)
     state = init_sparse_adam(ours)
-
-    rng = np.random.default_rng(6)
-    subsets = [np.array([0, 2]), np.array([1, 2, 4]), np.array([0, 2]),
-               np.array([3]), np.array([0, 1, 2, 3, 4])]
-    for step_i, rows in enumerate(subsets):
-        g_rows = rng.normal(size=(len(rows), 7)).astype(np.float32)
-
-        opt.zero_grad()
-        out = emb(torch.from_numpy(rows.astype(np.int64)))
-        (out * torch.from_numpy(g_rows)).sum().backward()
-        opt.step()
-
+    for step_i, (rows, g_rows) in enumerate(zip(subsets, grads)):
         dense_g = np.zeros((n, 7), np.float32)
         dense_g[rows] = g_rows
         touched = np.zeros(n, bool)
@@ -113,5 +142,5 @@ def test_sparse_adam_parity():
                                        jnp.asarray(touched), lr)
 
         np.testing.assert_allclose(
-            np.asarray(ours), emb.weight.detach().numpy(),
+            np.asarray(ours), np.array(torch_weights[step_i], np.float32),
             atol=1e-6, err_msg=f"step {step_i} rows {rows}")
