@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--checkpoint_dir", default="",
                     help="restore trained params from this orbax dir "
                          "(default: init / DECAY_TRAIN_STEPS warm steps)")
+    ap.add_argument("--params_pkl", default="",
+                    help="load trained params from a pickle written by "
+                         "full_training_validation.py (params.pkl)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir",
@@ -130,7 +133,14 @@ def main():
                            img_hw=96, depth_hw=48)
         batch = {k: jnp.asarray(np.asarray(v)) for k, v in scene.items()}
 
-    if args.checkpoint_dir:
+    if args.params_pkl:
+        import pickle
+        with open(args.params_pkl, "rb") as f:
+            params_loaded = pickle.load(f)
+        state = state._replace(params=jax.tree_util.tree_map(
+            jnp.asarray, params_loaded))
+        print(f"loaded params from {args.params_pkl}", flush=True)
+    elif args.checkpoint_dir:
         from mvsdf_tpu.train.checkpoints import restore_checkpoint
         state, _ = restore_checkpoint(args.checkpoint_dir, None, state)
         print(f"restored epoch {int(state.epoch)}", flush=True)
