@@ -26,10 +26,13 @@ FEAT_CH = 32
 # trace's active sets start high (sampler-active 0.055 -> dip -> settle
 # 0.06-0.076, hit 0.30-0.32 by ~step 15, scripts/active_trajectory.py), so
 # the first ~15 steps run larger compaction tiers than the steady state
-# that >99% of a real 1800-epoch training occupies. Measuring after the
-# transient matches the window-median protocol of every PERF.md A/B.
+# that >99% of a real 1800-epoch training occupies. Measuring the MEDIAN
+# of several windows after the transient matches the window-median
+# protocol of every PERF.md A/B and damps single-window tunnel noise
+# (~10% observed).
 WARMUP = 20
-ITERS = 20
+WINDOWS = 3
+WINDOW_ITERS = 10
 
 
 def _progress(msg):
@@ -159,11 +162,15 @@ def main():
     jax.block_until_ready(metrics["loss"])
     _progress(f"step compile+warmup: {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, batch, w, key)
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / ITERS
+    window_dt = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(WINDOW_ITERS):
+            state, metrics = step(state, batch, w, key)
+        jax.block_until_ready(metrics["loss"])
+        window_dt.append((time.perf_counter() - t0) / WINDOW_ITERS)
+    dt = float(np.median(window_dt))
+    _progress(f"window ms: {[round(d * 1e3, 1) for d in window_dt]}")
 
     rays_per_step = N_IMAGES * N_PIX
     rays_s = rays_per_step / dt
