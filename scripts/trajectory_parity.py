@@ -80,6 +80,22 @@ def add_args(ap):
     ap.add_argument("--seed0", type=int, default=1000)
     ap.add_argument("--npseed0", type=int, default=5000)
     ap.add_argument("--workdir", default="/tmp/traj_parity")
+    # architecture (default: the 64-wide toy; pass the production shape —
+    # --dims 512x8 --skip 4 --feat 256 --rdims 512x4 — for a
+    # production-architecture trajectory at reduced ray count)
+    ap.add_argument("--dims", default="64x4",
+                    help="implicit MLP hidden dims, WxN or comma list")
+    ap.add_argument("--skip", type=int, default=2)
+    ap.add_argument("--feat", type=int, default=32)
+    ap.add_argument("--rdims", default="64x2",
+                    help="rendering MLP hidden dims, WxN or comma list")
+
+
+def parse_dims(spec):
+    if "x" in spec:
+        w, n = spec.split("x")
+        return tuple([int(w)] * int(n))
+    return tuple(int(t) for t in spec.split(","))
 
 
 def build_scene(args):
@@ -87,6 +103,42 @@ def build_scene(args):
     return make_scene_shaded(n=args.views, img_hw=args.img_hw,
                              depth_hw=args.depth_hw, n_pix=args.n_pix,
                              sphere_radius=RADIUS)
+
+
+def make_ref_conf(args):
+    """Reference-style conf object for the chosen architecture (the test
+    module's _Conf hard-codes the 64-wide toy)."""
+    d = {
+        "feature_vector_size": args.feat,
+        "implicit_network": dict(d_in=3, d_out=1,
+                                 dims=list(parse_dims(args.dims)),
+                                 geometric_init=True, bias=0.6,
+                                 skip_in=[args.skip], weight_norm=True,
+                                 multires=6),
+        "rendering_network": dict(mode="idr", d_in=9, d_out=3,
+                                  dims=list(parse_dims(args.rdims)),
+                                  weight_norm=True, multires_view=4),
+        "ray_tracer": dict(object_bounding_sphere=1.0, sdf_threshold=5.0e-5,
+                           line_search_step=0.5, line_step_iters=3,
+                           sphere_tracing_iters=10, n_steps=100,
+                           n_secant_steps=8),
+    }
+
+    class Conf:
+        def get_int(self, k):
+            return d[k]
+
+        def get_float(self, k):
+            parts = k.split(".")
+            v = d
+            for p in parts:
+                v = v[p] if isinstance(v, dict) else getattr(v, p)
+            return float(v)
+
+        def get_config(self, k):
+            return d[k]
+
+    return Conf()
 
 
 def flat_params(params):
@@ -141,13 +193,13 @@ def run_ref(args):
     import torch
     from tests.golden.reference_harness import (import_reference,
                                                 torch_implicit_to_params)
-    from tests.golden.test_e2e_vs_reference import _Conf, _replay_noise
+    from tests.golden.test_e2e_vs_reference import _replay_noise
 
     E, B = args.epochs, args.views
     scene = build_scene(args)
     ref = import_reference()
     torch.manual_seed(0)
-    model = ref["idr"].IDRNetwork(conf=_Conf())
+    model = ref["idr"].IDRNetwork(conf=make_ref_conf(args))
     model.train()
     loss_mod = ref["loss"].IDRLoss()
 
@@ -246,17 +298,17 @@ def run_ours(args):
     from mvsdf_tpu.train.step import weights_to_array, weights_from_array
 
     E, B = args.epochs, args.views
-    FEAT = 32
     scene = build_scene(args)
     params = unflat_params(
         np.load(os.path.join(args.workdir, "init_params.npz")))
     noise_npz = np.load(os.path.join(args.workdir, "noise.npz"))
 
     cfg = ModelConfig(
-        implicit=ImplicitConfig(feature_vector_size=FEAT, dims=(64,) * 4,
-                                skip_in=(2,), bias=0.6, multires=6),
-        render=RenderConfig(feature_vector_size=FEAT, dims=(64, 64),
-                            multires_view=4),
+        implicit=ImplicitConfig(feature_vector_size=args.feat,
+                                dims=parse_dims(args.dims),
+                                skip_in=(args.skip,), bias=0.6, multires=6),
+        render=RenderConfig(feature_vector_size=args.feat,
+                            dims=parse_dims(args.rdims), multires_view=4),
         tracer=TracerConfig(),
         implicit_diff_min_dot=0.0)  # reference divides unguarded
     sched = Schedule()
@@ -398,7 +450,9 @@ def main():
             "--epochs", str(args.epochs), "--views", str(args.views),
             "--n_pix", str(args.n_pix), "--img_hw", str(args.img_hw),
             "--depth_hw", str(args.depth_hw), "--seed0", str(args.seed0),
-            "--npseed0", str(args.npseed0), "--workdir", args.workdir]
+            "--npseed0", str(args.npseed0), "--workdir", args.workdir,
+            "--dims", args.dims, "--skip", str(args.skip),
+            "--feat", str(args.feat), "--rdims", args.rdims]
     for arm in ("ref", "ours"):
         print(f"=== spawning {arm} arm ===", flush=True)
         r = subprocess.run(base + ["--arm", arm])
