@@ -66,7 +66,7 @@ def _where_rows(m, o, t):
 
 def compact_call_into(fn, mask, capacity: Union[int, Sequence[int]],
                       per_ray_inputs, targets,
-                      out_masks=None) -> Tuple:
+                      out_masks=None, remat: bool = False) -> Tuple:
     """``compact_call`` that scatters each output DIRECTLY into a caller-
     provided full-size merge target instead of a fresh ``jnp.zeros``
     builder, fusing the call-site ``jnp.where(merge_mask, out, prior)``
@@ -92,7 +92,22 @@ def compact_call_into(fn, mask, capacity: Union[int, Sequence[int]],
     The dense overflow branch computes ``fn`` on all rows and where-merges
     by out_masks (or returns the outputs unmerged when ``out_masks`` is
     None, matching the unpredicated contract). Exact in every branch.
+
+    ``remat=True`` wraps ``fn`` in ``jax.checkpoint`` — REQUIRED for good
+    performance when ``fn`` is differentiated: ``lax.cond`` linearization
+    unions the residuals of every branch into one output tuple and
+    ZERO-FILLS the untaken branches' slots, so a differentiated cascade
+    materializes the dense branch's full-width activation stack as zero
+    splats on every step the compact tier is taken (measured 5-8 ms/step
+    of pure broadcast writes on the full-size v5e step — the round-5 HLO
+    shows ~50 x f32/bf16/pred[32768,512] zero broadcasts feeding the cond
+    root tuple; PERF.md round 5). With checkpoint the residual set shrinks
+    to ``fn``'s inputs (block-sized), and the backward recomputes the
+    tier-sized forward instead — bit-identical gradients (deterministic
+    recompute of the same ops on the same values).
     """
+    if remat:
+        fn = jax.checkpoint(fn)
     R = mask.shape[0]
     caps = _normalize_caps(capacity, R)
     n_out = len(targets)

@@ -172,6 +172,15 @@ class ModelConfig:
     # Single-chip optimization: the gather crosses ray-shard boundaries,
     # leave () on multi-chip meshes.
     supervised_compact_frac: Tuple[float, ...] = ()
+    # Rematerialize (jax.checkpoint) the supervised compaction's tier
+    # functions: lax.cond linearization zero-fills the UNTAKEN branches'
+    # residual slots, so without remat every step the compact tier is
+    # taken materializes the dense branch's full-width activation stack
+    # as zero broadcasts (~50 x [B*P, 512] splats, measured 5-8 ms/step
+    # on the full-size v5e step — PERF.md round 5). Remat trades that for
+    # recomputing the tier-sized forward in the backward pass; gradients
+    # are bit-identical. No effect when supervised_compact_frac is ().
+    supervised_remat: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -302,7 +302,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
             o_flat, gr_flat = _compact_call_into(
                 _sdf_logit_grad,
                 act_flat, caps, [points.reshape(N, 3)],
-                [jnp.zeros((N, ncols)), jnp.zeros((N, 3))])
+                [jnp.zeros((N, ncols)), jnp.zeros((N, 3))],
+                remat=cfg.supervised_remat)
             full_out = o_flat.reshape(B, P, ncols)
             g_rt = gr_flat.reshape(B, P, 3)
             groups = {"rt_surf": {
@@ -386,7 +387,8 @@ def render_forward(cfg: ModelConfig, params, inputs, *, training: bool,
         (rgbv_flat,) = _compact_call_into(
             _shade, sm_flat, caps,
             [diff_surf_pts.reshape(N, 3), view.reshape(N, 3)],
-            [jnp.ones((N, 3))], out_masks=[sm_flat])
+            [jnp.ones((N, 3))], out_masks=[sm_flat],
+            remat=cfg.supervised_remat)
         rgb_values = rgbv_flat.reshape(B, P, 3)
     else:
         rgb_out, normals = full_value_and_grad(icfg, params["implicit"],

@@ -19,7 +19,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def top_ops(logdir, n=30):
+def top_ops(logdir, n=25, n_steps=5):
+    """Category + top-op breakdown by device rawTime (ps) per step.
+
+    The op_profile tree is byProgram -> program -> CATEGORY -> op; the live
+    metric key on this xprof build is ``rawTime`` (ps; the older ``time``
+    share key reads 0 — round-5 finding, NOTES_ROUND6.md)."""
     from xprof.convert import raw_to_tool_data
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
@@ -30,24 +35,38 @@ def top_ops(logdir, n=30):
         data, _ = raw_to_tool_data.xspace_to_tool_data(
             paths, "op_profile", {})
         tree = json.loads(data)
-
-        rows = []
-
-        def walk(node, depth=0):
-            m = node.get("metrics", {})
-            name = node.get("name", "?")
-            kids = node.get("children", [])
-            if not kids and m:
-                rows.append((m.get("time", 0.0), name,
-                             m.get("flops", 0.0)))
-            for k in kids:
-                walk(k, depth + 1)
-
-        walk(tree.get("byProgram", tree))
-        rows.sort(reverse=True)
-        print(f"top {n} ops by time share:")
-        for t, name, fl in rows[:n]:
-            print(f"  {t:8.4f}  {name[:110]}")
+        bp = tree.get("byProgram", tree)
+        ms = 1e-9 / n_steps  # ps -> ms/step
+        progs = [c for c in bp.get("children", [])
+                 if c.get("name") != "IDLE"]
+        total = sum(c["metrics"]["rawTime"] for c in progs)
+        print(f"device busy: {total * ms:.2f} ms/step "
+              f"({len(progs)} programs)")
+        cats = {}
+        ops = []
+        for prog in progs:
+            for cat in prog.get("children", []):
+                cname = cat.get("name", "?")
+                cm = cat.get("metrics", {})
+                e = cats.setdefault(cname, [0.0, 0, 0.0])
+                e[0] += cm.get("rawTime", 0)
+                e[1] += cm.get("occurrences", 0)
+                e[2] += cm.get("rawFlops", 0)
+                for op in cat.get("children", []):
+                    om = op.get("metrics", {})
+                    ops.append((om.get("rawTime", 0), cname,
+                                op.get("name", "?"),
+                                om.get("occurrences", 0)))
+        print("by category (ms/step, count/step, GFLOP/step):")
+        for cname, (t, occ, fl) in sorted(cats.items(),
+                                          key=lambda kv: -kv[1][0]):
+            print(f"  {t * ms:7.2f}  {occ / n_steps:6.0f}  "
+                  f"{fl / n_steps / 1e9:8.1f}  {cname}")
+        ops.sort(reverse=True)
+        print(f"top {n} ops by device time (ms/step):")
+        for t, cname, name, occ in ops[:n]:
+            print(f"  {t * ms:7.2f}  x{occ / n_steps:5.0f}  "
+                  f"[{cname[:18]}] {name[:80]}")
     except Exception as e:
         print("op_profile parse failed:", repr(e))
         # fallback: framework_op_stats is a TSV-ish JSON
@@ -75,6 +94,8 @@ def main():
                                       weights_to_array)
     from tests.golden.scene_fixtures import make_scene
 
+    # EXACT bench.py config (round 5): single 0.375 supervised tier,
+    # donated step (keep in sync with bench.py's env-default branches).
     cfg = MVSDFConfig(train=TrainConfig(batch_size=8, num_pixels=4096))
     tr = dataclasses.replace(
         cfg.model.tracer, fill_misses=False,
@@ -84,7 +105,7 @@ def main():
                                 (5, (0.0625, 0.125, 0.25))))
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, use_pallas_trace=True, tracer=tr,
-        supervised_compact_frac=(0.25, 0.375),
+        supervised_compact_frac=(0.375,),
         implicit=dataclasses.replace(cfg.model.implicit,
                                      bf16_activations=True)))
 

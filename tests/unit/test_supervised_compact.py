@@ -22,7 +22,7 @@ from tests.golden.scene_fixtures import make_scene
 B, P = 2, 64
 
 
-def _cfg(comp):
+def _cfg(comp, remat=True):
     return MVSDFConfig(
         model=ModelConfig(
             implicit=ImplicitConfig(feature_vector_size=16, dims=(32,) * 3,
@@ -31,13 +31,13 @@ def _cfg(comp):
                                 multires_view=2),
             tracer=TracerConfig(sphere_tracing_iters=8, n_steps=16,
                                 n_secant_steps=3, sample_chunk=0),
-            supervised_compact_frac=comp),
+            supervised_compact_frac=comp, supervised_remat=remat),
         schedule=Schedule(),
         train=TrainConfig(batch_size=B, num_pixels=P))
 
 
-def _run(comp, tp, batch, key):
-    cfg = _cfg(comp)
+def _run(comp, tp, batch, key, remat=True):
+    cfg = _cfg(comp, remat=remat)
     state = init_train_state(cfg, seed=0)
     gates = cfg.schedule.gates(tp)
     w = cfg.schedule.weights(tp)
@@ -73,6 +73,24 @@ def test_compact_matches_dense(tp, comp):
     np.testing.assert_allclose(np.asarray(out_c.rgb_values)[hit],
                                np.asarray(out_d.rgb_values)[hit],
                                rtol=2e-6, atol=1e-7)
+
+
+def test_remat_matches_no_remat():
+    """ModelConfig.supervised_remat (jax.checkpoint on the compaction tier
+    fns — deletes the cond linearization's zero-filled untaken-branch
+    residuals, PERF.md round 5) must leave loss and gradients equal up to
+    the roundoff of re-fused reductions (measured 3e-6 rel on the
+    full-size step; the recompute runs the same ops on the same values,
+    only XLA fusion boundaries move)."""
+    batch = {k: jnp.asarray(np.asarray(v)) for k, v in make_scene(
+        n_images=B, n_pix=P, feat_ch=8, img_hw=32, depth_hw=16).items()}
+    key = jax.random.PRNGKey(5)
+    loss_r, g_r, out_r = _run((0.25, 0.75), 0.30, batch, key, remat=True)
+    loss_n, g_n, out_n = _run((0.25, 0.75), 0.30, batch, key, remat=False)
+    np.testing.assert_allclose(loss_r, loss_n, rtol=1e-5, atol=0)
+    np.testing.assert_allclose(g_r, g_n, rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_r.network_object_mask),
+                                  np.asarray(out_n.network_object_mask))
 
 
 def test_overflow_falls_back_dense():
