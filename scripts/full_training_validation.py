@@ -47,13 +47,21 @@ def main(argv=None):
                     help="focal = focal_mult * 96; lower widens the FoV "
                          "and drops the sphere-intersect fraction")
     ap.add_argument("--supervised_compact", default="auto",
-                    choices=["auto", "off", "top", "twotier"],
+                    choices=["auto", "off", "top", "twotier", "bound"],
                     help="auto: engage auto_supervised_cascade from the "
                          "scene's sphere-intersect bound (the CLI "
                          "default — since round 5 a SINGLE bound tier, "
                          "same as 'top'); off: force the supervised path "
                          "dense; twotier: the pre-round-5 (0.25, bound) "
-                         "cascade, kept as the measured-A/B baseline arm")
+                         "cascade, kept as the measured-A/B baseline arm; "
+                         "bound: force the single bound tier even when "
+                         "the bound is >= the auto cutoff (0.5) — the "
+                         "remat-era experiment: with supervised_remat "
+                         "the branch cost structure that set the 0.5 "
+                         "cutoff (PERF.md round 3) changed")
+    ap.add_argument("--no_supervised_remat", action="store_true",
+                    help="disable ModelConfig.supervised_remat (round-5 "
+                         "default on) for same-day rate A/Bs")
     ap.add_argument("--out", default="/tmp/mvsdf_validation")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
@@ -117,6 +125,9 @@ def main(argv=None):
         elif args.supervised_compact == "twotier":
             top = auto_supervised_cascade(intersect_frac=isect)
             sup = tuple(sorted({min(0.25, top[0]), top[0]})) if top else ()
+        elif args.supervised_compact == "bound":
+            b = float(np.ceil(isect * 16) / 16)
+            sup = (b,) if b < 0.95 else ()
         print(f"fallback cascade: {cap}, march schedule {march_sched} "
               f"supervised cascade {sup} (object frac {obj_frac:.3f}, "
               f"intersect {isect:.3f})")
@@ -131,6 +142,7 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, use_pallas_trace=True, tracer=tr,
             supervised_compact_frac=sup,
+            supervised_remat=not args.no_supervised_remat,
             pallas_interpret=jax.devices()[0].platform == "cpu"))
     const = {k: jnp.asarray(np.asarray(sc[k])) for k in
              ["intrinsics", "pose", "depths", "depth_cams", "size",
